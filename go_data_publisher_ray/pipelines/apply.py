@@ -1,0 +1,198 @@
+"""The flagship pipeline: epoch-fenced CDC upsert-apply into the lake.
+
+Shape (idiomatic Ray Data, one shuffle, streaming end to end):
+
+    read_parquet(events/epoch=E)                  # prune at the read
+      -> map_batches(AddPartitionAndCombine)      # vectorized normalize +
+                                                  # url-hash part + in-batch
+                                                  # LWW pre-combine (combiner)
+      [-> groupby(part, salt).map_groups(collapse)]   # hot-key salting pass
+      -> groupby(part).map_groups(DeltaWriter)    # per-partition sorted
+                                                  # delta parquet (LSM flush)
+      -> driver: manifest commit (atomic)         # THE commit point
+
+This mirrors the reference's publisher->consumer path
+(`transactions-producer/domain/processor.go:98-155` fetch/publish loop,
+`transactions-consumer/consume/transaction_consumer.go:93-155` bulk
+upsert then offset commit) with the epoch as the batch fence: the delta
+files are idempotent (deterministic names + contents), the manifest
+append is the offset commit, and re-applying an epoch is a no-op
+overwrite — at-least-once + idempotence = effectively-once.
+
+Scale notes (100 TB): the shuffle moves only one epoch's *collapsed*
+events (the pre-combine drops within-batch losers before the exchange);
+the base table never moves — each partition's base is read only by its
+own merge/compact task.  Epochs are applied serially (they are the
+commit fences) but everything inside an epoch streams with backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.parquet as pq
+
+from ..stages.merge import AddPartitionAndCombine, BaseWriter, DeltaWriter, collapse_group
+from ..state.manifest import FileEntry, Manifest
+
+
+def _ray_data():
+    import ray.data as rd
+
+    return rd
+
+
+def _stats_to_entries(rows: list[dict]) -> list[FileEntry]:
+    return [
+        FileEntry(
+            path=r["path"],
+            partition=int(r["partition"]),
+            rows=int(r["rows"]),
+            bytes=int(r["bytes"]),
+            max_lsn=int(r["max_lsn"]),
+        )
+        for r in rows
+    ]
+
+
+def _parquet_dir_schema(path: str):
+    """Unified Arrow schema of all parquet files in a directory (driver
+    side, metadata only)."""
+    import pyarrow as pa
+
+    from .. import schema as schema_mod
+
+    schemas = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            schemas.append(pq.read_schema(os.path.join(path, name)))
+    if not schemas:
+        return pa.schema([])
+    return schema_mod.unify(*schemas)
+
+
+def bootstrap(
+    base_dir: str,
+    lake_dir: str,
+    num_partitions: int,
+    *,
+    batch_size: int = 16384,
+) -> dict:
+    """Load the initial base table (F1) into the partitioned lake as
+    compaction record 0 (``upto_epoch=-1``)."""
+    rd = _ray_data()
+    man = Manifest(lake_dir, num_partitions)
+    if man.load_state().base:
+        return {"skipped": True}
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(base_dir)
+    ds = ds.map_batches(
+        AddPartitionAndCombine(num_partitions, combine=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    stats = ds.groupby("part").map_groups(
+        BaseWriter(lake_dir, tag="c000000"), batch_format="pyarrow"
+    )
+    entries = _stats_to_entries(stats.take_all())
+    man.commit_compaction(-1, entries, _parquet_dir_schema(base_dir), cid=0)
+    return {
+        "skipped": False,
+        "partitions": len(entries),
+        "rows": sum(e.rows for e in entries),
+        "sec": time.perf_counter() - t0,
+    }
+
+
+def apply_epoch(
+    events_dir: str,
+    lake_dir: str,
+    epoch: int,
+    *,
+    salt: int = 0,
+    batch_size: int = 65536,
+) -> dict:
+    """Apply one epoch of change events; idempotent (skip if committed)."""
+    rd = _ray_data()
+    man = Manifest(lake_dir)
+    if man.has_epoch(epoch):
+        return {"epoch": epoch, "skipped": True}
+    t0 = time.perf_counter()
+    edir = os.path.join(events_dir, f"epoch={epoch}")
+    if not os.path.isdir(edir):
+        # empty epoch: commit an empty fence so resume logic stays simple
+        man.commit_epoch(epoch, [], man.load_state().schema, metrics={"events": 0})
+        return {"epoch": epoch, "skipped": False, "events": 0, "sec": 0.0}
+
+    n_events = sum(
+        pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows
+        for f in os.listdir(edir)
+        if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(edir)
+    ds = ds.map_batches(
+        AddPartitionAndCombine(man.num_partitions, salt=salt),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if salt > 1:
+        ds = ds.groupby(["part", "salt"]).map_groups(collapse_group, batch_format="pyarrow")
+    stats = ds.groupby("part").map_groups(
+        DeltaWriter(lake_dir, epoch), batch_format="pyarrow"
+    )
+    entries = _stats_to_entries(stats.take_all())
+
+    epoch_schema = _parquet_dir_schema(edir).remove(
+        _parquet_dir_schema(edir).get_field_index("epoch")
+    )
+    sec = time.perf_counter() - t0
+    man.commit_epoch(
+        epoch,
+        entries,
+        epoch_schema,
+        metrics={
+            "events": n_events,
+            "sec": round(sec, 4),
+            "events_per_sec": round(n_events / sec, 1) if sec > 0 else None,
+            "delta_rows": sum(e.rows for e in entries),
+            "delta_bytes": sum(e.bytes for e in entries),
+        },
+    )
+    return {"epoch": epoch, "skipped": False, "events": n_events, "sec": sec}
+
+
+def discover_epochs(events_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(events_dir):
+        if name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def apply_log(
+    events_dir: str,
+    lake_dir: str,
+    *,
+    salt: int = 0,
+    stop_after: int | None = None,
+    batch_size: int = 65536,
+) -> list[dict]:
+    """Serial epoch loop with resume: committed epochs are skipped (the
+    watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
+    realized structurally instead of via a stored tick)."""
+    man = Manifest(lake_dir)
+    done = set(man.committed_epochs())
+    results = []
+    applied = 0
+    for epoch in discover_epochs(events_dir):
+        if epoch in done:
+            results.append({"epoch": epoch, "skipped": True})
+            continue
+        results.append(
+            apply_epoch(events_dir, lake_dir, epoch, salt=salt, batch_size=batch_size)
+        )
+        applied += 1
+        if stop_after is not None and applied >= stop_after:
+            break
+    return results

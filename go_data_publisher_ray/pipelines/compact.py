@@ -1,0 +1,142 @@
+"""Compaction: fold a partition's live deltas into a new sorted base.
+
+The LSM maintenance path of the north_star.  Tombstones are dropped
+here — safe because a full-partition compaction merges *every* live
+file of the partition, so no older version of a deleted url survives
+anywhere (FIXTURES.md `test_delete_tombstones`).
+
+Implemented as an actor-pool ``map_batches`` stage over partition
+descriptors: each actor holds the lake paths + unified schema once
+(`__init__`), then compacts one partition per batch — the stateful
+actor-pool merger shape (T3 analog,
+``status-service/rpc/status_service.go:28-46`` TTL-cached derived
+views, made explicit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as schema_mod
+from ..stages.merge import atomic_write_parquet, merge_partition_files, strip_internal
+from ..state.manifest import FileEntry, Manifest
+
+
+class Compactor:
+    """Actor-pool stage: one partition descriptor row in -> one stats row
+    out; the merged base is written from the worker, never shipped."""
+
+    def __init__(self, lake_dir: str, schema_json: str, tag: str):
+        self.lake_dir = lake_dir
+        self.schema = schema_mod.schema_from_json(schema_json)
+        self.tag = tag
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for payload in batch.column("payload").to_pylist():
+            spec = json.loads(payload)
+            part = spec["part"]
+            base = FileEntry.from_dict(spec["base"]) if spec["base"] else None
+            deltas = [FileEntry.from_dict(d) for d in spec["deltas"]]
+            merged = merge_partition_files(
+                self.lake_dir, base, deltas, self.schema, keep_tombstones=False
+            )
+            merged = strip_internal(merged)
+            rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
+            abspath = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            size = atomic_write_parquet(merged, abspath)
+            max_lsn = (pc.max(merged.column("lsn")).as_py() or 0) if merged.num_rows else 0
+            rows.append(
+                {
+                    "path": rel,
+                    "partition": part,
+                    "rows": merged.num_rows,
+                    "bytes": size,
+                    "max_lsn": max_lsn,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("partition", pa.int32()),
+                    ("rows", pa.int64()),
+                    ("bytes", pa.int64()),
+                    ("max_lsn", pa.int64()),
+                ]
+            ),
+        )
+
+
+def compact(
+    lake_dir: str,
+    *,
+    min_deltas: int = 1,
+    concurrency: int = 4,
+) -> dict:
+    """Compact every partition holding >= min_deltas live delta files."""
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    upto = max(state.committed_epochs, default=-1)
+    schema = state.schema if state.schema is not None else pa.schema([])
+    if "op" not in schema.names:
+        schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
+
+    items = []
+    for part in range(man.num_partitions):
+        base, deltas = state.live_files(part)
+        if len(deltas) < min_deltas:
+            continue
+        items.append(
+            {
+                "payload": json.dumps(
+                    {
+                        "part": part,
+                        "base": base.to_dict() if base else None,
+                        "deltas": [d.to_dict() for d in deltas],
+                    }
+                )
+            }
+        )
+    if not items:
+        return {"compacted_partitions": 0, "sec": 0.0}
+
+    cid = man.next_compaction_id()
+    stats = (
+        rd.from_items(items)
+        .map_batches(
+            Compactor,
+            fn_constructor_args=(lake_dir, schema_mod.schema_to_json(schema), f"c{cid:06d}"),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=min(concurrency, len(items)),
+        )
+        .take_all()
+    )
+    entries = [
+        FileEntry(
+            path=r["path"],
+            partition=int(r["partition"]),
+            rows=int(r["rows"]),
+            bytes=int(r["bytes"]),
+            max_lsn=int(r["max_lsn"]),
+        )
+        for r in stats
+    ]
+    base_schema = schema.remove(schema.get_field_index("op"))
+    man.commit_compaction(upto, entries, base_schema, cid=cid)
+    return {
+        "compacted_partitions": len(entries),
+        "upto_epoch": upto,
+        "sec": time.perf_counter() - t0,
+    }

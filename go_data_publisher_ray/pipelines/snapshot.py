@@ -1,0 +1,115 @@
+"""Snapshot: stream the lake's merged current state as a Dataset.
+
+The read-back analog of the reference's ES search clients (S7,
+``status-service/elastic/client_tick_data.go:25-89``), except bulk: one
+Ray task per partition merges base+deltas (LWW, tombstones dropped) and
+emits the partition's live rows as Arrow — the full table never sits in
+one place; downstream stages/writes stream with backpressure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from .. import schema as schema_mod
+from ..stages.merge import merge_partition_files, strip_internal
+from ..state.manifest import FileEntry, Manifest
+
+
+def _snapshot_items(man: Manifest) -> tuple[list[dict], pa.Schema]:
+    state = man.load_state()
+    schema = state.schema if state.schema is not None else pa.schema([])
+    if "op" not in schema.names and any(state.deltas.values()):
+        schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
+    items = []
+    for part in range(man.num_partitions):
+        base, deltas = state.live_files(part)
+        if base is None and not deltas:
+            continue
+        items.append(
+            {
+                "payload": json.dumps(
+                    {
+                        "part": part,
+                        "base": base.to_dict() if base else None,
+                        "deltas": [d.to_dict() for d in deltas],
+                    }
+                )
+            }
+        )
+    return items, schema
+
+
+def make_partition_merger(
+    lake_dir: str,
+    schema_json: str,
+    *,
+    keep_tombstones: bool = False,
+    keep_lineage: bool = True,
+    columns: list[str] | None = None,
+):
+    """Factory for the per-partition merge UDF (stateless task; the
+    closure ships only paths + a schema string)."""
+
+    def merge(batch: pa.Table) -> pa.Table:
+        unified = schema_mod.schema_from_json(schema_json)
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            spec = json.loads(payload)
+            base = FileEntry.from_dict(spec["base"]) if spec["base"] else None
+            deltas = [FileEntry.from_dict(d) for d in spec["deltas"]]
+            merged = merge_partition_files(
+                lake_dir, base, deltas, unified, keep_tombstones=keep_tombstones
+            )
+            if not keep_tombstones:
+                merged = strip_internal(merged, extra=() if keep_lineage else ("lsn",))
+            if columns:
+                merged = merged.select(columns)
+            out.append(merged)
+        return pa.concat_tables(out) if out else unified.empty_table()
+
+    return merge
+
+
+def snapshot(
+    lake_dir: str,
+    *,
+    columns: list[str] | None = None,
+    keep_lineage: bool = True,
+):
+    """Return a ``ray.data.Dataset`` of the lake's current merged state,
+    one merge task per partition."""
+    import ray.data as rd
+
+    man = Manifest(lake_dir)
+    items, schema = _snapshot_items(man)
+    if not items:
+        return rd.from_arrow(schema.empty_table())
+    fn = make_partition_merger(
+        lake_dir,
+        schema_mod.schema_to_json(schema),
+        keep_lineage=keep_lineage,
+        columns=columns,
+    )
+    return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
+
+
+def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:
+    """Driver-side merged table, sorted by url (tests / small lakes)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = snapshot(lake_dir, **kwargs)
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.schema([]).empty_table()
+    unified = schema_mod.unify(*[t.schema for t in tables])
+    t = pa.concat_tables([schema_mod.conform(x, unified) for x in tables])
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")])).combine_chunks()

@@ -1,0 +1,169 @@
+"""Verification: replay oracles, gap detection, lineage checks.
+
+The status-service analog (``status-service/sync/tick_processor.go:203-334``
+verifies sink==source per tick; ``rpc/status_service.go:218-231`` finds
+skipped ticks; ``sync/log_processor.go:59-100`` compares counts).  Here:
+
+- ``pandas_oracle`` / ``duckdb_oracle``: brute-force replay of the full
+  change log on the driver — the independent truth the engine's
+  snapshot must equal byte-for-byte (including ``text``).
+- ``gap_scan``: holes in the committed-epoch sequence.
+- ``lineage_check``: per-partition checkpoint vs what is actually on
+  disk (row counts, bytes, max lsn).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import schema as schema_mod
+from ..state.manifest import Manifest
+
+
+def _read_dir_unified(path: str) -> pa.Table:
+    tables = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(root, name)))
+    if not tables:
+        return pa.schema([]).empty_table()
+    unified = schema_mod.unify(*[t.schema for t in tables])
+    return pa.concat_tables([schema_mod.conform(t, unified) for t in tables])
+
+
+def replay_oracle_table(
+    base_dir: str, events_dir: str, upto_epoch: int | None = None
+) -> pa.Table:
+    """Brute-force LWW replay (driver-side, small fixtures only).
+
+    Semantics being asserted: per url keep the row with max
+    (warc_ts, lsn); a winning delete removes the url; base rows act as
+    (warc_ts, lsn=0) inserts.  Output sorted by url, lineage `lsn` kept,
+    internal columns dropped.
+    """
+    base = _read_dir_unified(base_dir)
+    base = base.append_column("op", pa.nulls(base.num_rows, pa.string()).fill_null("insert"))
+    events = _read_dir_unified(events_dir)
+    if events.num_rows and upto_epoch is not None:
+        events = events.filter(pc.less_equal(events.column("epoch"), upto_epoch))
+    if "epoch" in events.schema.names:
+        events = events.drop_columns(["epoch"])
+    unified = schema_mod.unify(base.schema, events.schema)
+    merged = pa.concat_tables(
+        [schema_mod.conform(base, unified), schema_mod.conform(events, unified)]
+    )
+    # deliberately a different code path from the engine kernels: pandas
+    # stable sort + drop_duplicates keep-last
+    df = merged.to_pandas()
+    df = df.sort_values(["url", "warc_ts", "lsn"], kind="stable")
+    df = df.drop_duplicates("url", keep="last")
+    df = df[df["op"] != "delete"].drop(columns=["op"]).sort_values("url")
+    out_schema = pa.schema([f for f in unified if f.name != "op"])
+    return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False).combine_chunks()
+
+
+def duckdb_oracle_table(base_dir: str, events_dir: str) -> pa.Table:
+    """Independent second oracle: the same replay expressed in SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW src AS
+        SELECT url, warc_ts, html, text, lang, lsn, 'insert' AS op
+        FROM parquet_scan('{base_dir}/*.parquet')
+        UNION ALL BY NAME
+        SELECT * EXCLUDE (epoch) FROM parquet_scan('{events_dir}/epoch=*/*.parquet', union_by_name=true)
+        """
+    )
+    out = con.execute(
+        """
+        SELECT * EXCLUDE (op, rn) FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM src)
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY url
+        """
+    ).fetch_arrow_table()
+    con.close()
+    return out
+
+
+def tables_equal(a: pa.Table, b: pa.Table, *, sort_key: str = "url") -> tuple[bool, str]:
+    """Strict equality after aligning column order and casting to a
+    unified schema; returns (ok, message)."""
+    if a.num_rows != b.num_rows:
+        return False, f"row counts differ: {a.num_rows} vs {b.num_rows}"
+    common = sorted(set(a.schema.names) & set(b.schema.names))
+    missing = set(a.schema.names) ^ set(b.schema.names)
+    if missing:
+        return False, f"column sets differ: {missing}"
+    unified = schema_mod.unify(a.select(common).schema, b.select(common).schema)
+    aa = schema_mod.conform(a, unified).combine_chunks()
+    bb = schema_mod.conform(b, unified).combine_chunks()
+    for name in common:
+        if not aa.column(name).equals(bb.column(name)):
+            am = aa.column(name).to_pylist()
+            bm = bb.column(name).to_pylist()
+            bad = next(i for i, (x, y) in enumerate(zip(am, bm)) if x != y)
+            return False, (
+                f"column {name} differs at row {bad}: "
+                f"{am[bad]!r} vs {bm[bad]!r} (url={aa.column(sort_key)[bad]})"
+            )
+    return True, "equal"
+
+
+def gap_scan(lake_dir: str) -> dict:
+    """Missing epochs between the first and last commit (A3 analog,
+    `status-service/rpc/status_service.go:218-231`)."""
+    man = Manifest(lake_dir)
+    epochs = man.committed_epochs()
+    if not epochs:
+        return {"committed": 0, "gaps": []}
+    full = set(range(epochs[0], epochs[-1] + 1))
+    return {
+        "committed": len(epochs),
+        "first": epochs[0],
+        "last": epochs[-1],
+        "gaps": sorted(full - set(epochs)),
+    }
+
+
+def lineage_check(lake_dir: str) -> dict:
+    """Per-partition checkpoint vs on-disk truth (A1/A2 analog)."""
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    mismatches = []
+    for part in range(man.num_partitions):
+        base, deltas = state.live_files(part)
+        files = ([base] if base else []) + deltas
+        ck = man.read_checkpoint(part)
+        actual_rows = 0
+        actual_bytes = 0
+        actual_lsn = 0
+        for fe in files:
+            p = os.path.join(lake_dir, fe.path)
+            md = pq.ParquetFile(p).metadata
+            actual_rows += md.num_rows
+            actual_bytes += os.path.getsize(p)
+            actual_lsn = max(actual_lsn, fe.max_lsn)
+        if (
+            ck["row_count"] != actual_rows
+            or ck["bytes"] != actual_bytes
+            or ck["last_lsn"] != actual_lsn
+        ):
+            mismatches.append(
+                {"partition": part, "checkpoint": ck, "actual": [actual_rows, actual_bytes, actual_lsn]}
+            )
+    return {"partitions": man.num_partitions, "mismatches": mismatches}
+
+
+def dataframe(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas()

@@ -1,0 +1,125 @@
+"""Arrow schemas for the CDC lake and change log.
+
+The reference declares fixed Go structs per service
+(``transactions-producer/entities/tx.go:3-15``,
+``tick-data-publisher/domain/tick_data.go:3-13``) with JSON on the wire;
+here there is a single Arrow schema registry and zero-copy Arrow blocks
+between stages. Binary payloads stay ``pa.binary()`` — the reference's
+hex->base64 string transcoding (M1/M2,
+``transactions-producer/external/archiver/client.go:56-85``) is an
+artifact of JSON transport and is deliberately not reproduced.
+
+Schema evolution (column add / int widen) is handled by
+``pa.unify_schemas`` per epoch, mirroring the reference's tolerant JSON
+decoding (unknown fields dropped, missing fields zero-filled,
+``tick-data-publisher/domain/tick_data.go:8-12``) — except evolution is
+explicit and recorded in the manifest instead of silent.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+# The lake's base-table schema (Common-Crawl-style web pages) per
+# BASELINE.json input_hint.  `lsn` is per-row lineage: the LSN of the
+# change event that produced the row (0 for bootstrap rows).
+PAGE_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+]
+
+PAGE_SCHEMA = pa.schema(PAGE_FIELDS + [("lsn", pa.int64())])
+
+# Change-event schema: page columns + CDC envelope.  `lsn` is the
+# tick-number analog (strictly increasing, `entities/tx.go:8`); `epoch`
+# is the commit fence (tick-interval analog, `entities/tx.go:17-25`);
+# `op` is insert/update/delete.
+EVENT_SCHEMA = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("epoch", pa.int32()),
+        ("op", pa.string()),
+    ]
+    + PAGE_FIELDS
+)
+
+# Delta files keep the op column (tombstones survive until compaction).
+DELTA_SCHEMA = pa.schema(PAGE_FIELDS + [("lsn", pa.int64()), ("op", pa.string())])
+
+OPS = ("insert", "update", "delete")
+
+# Columns internal to the engine, dropped from user-facing snapshots.
+INTERNAL_COLUMNS = ("op", "part", "salt")
+
+
+def schema_to_json(schema: pa.Schema) -> str:
+    """Serialize a schema for the manifest (human-auditable JSON)."""
+    return json.dumps([[f.name, str(f.type)] for f in schema])
+
+
+def schema_from_json(s: str) -> pa.Schema:
+    fields = json.loads(s)
+    return pa.schema([(name, _type_from_str(t)) for name, t in fields])
+
+
+_TYPE_PARSERS = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "timestamp[s]": pa.timestamp("s"),
+    "date32[day]": pa.date32(),
+}
+
+
+def _type_from_str(t: str) -> pa.DataType:
+    if t in _TYPE_PARSERS:
+        return _TYPE_PARSERS[t]
+    if t.startswith("list<element: ") and t.endswith(">"):
+        return pa.list_(_type_from_str(t[len("list<element: ") : -1]))
+    raise ValueError(f"unsupported serialized arrow type: {t!r}")
+
+
+def unify(*schemas: pa.Schema) -> pa.Schema:
+    """Unify schemas across epochs: add-column and int-widen tolerated.
+
+    `promote_options="permissive"` lets int32 widen to int64 etc.; new
+    columns appear with nulls for earlier data (FIXTURES.md F3).
+    """
+    return pa.unify_schemas(list(schemas), promote_options="permissive")
+
+
+def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast ``table`` to the unified ``schema``: add missing columns as
+    nulls, cast widened columns, order columns as in ``schema``."""
+    cols = []
+    n = len(table)
+    names = set(table.schema.names)
+    for field in schema:
+        if field.name in names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.table(cols, schema=schema)

@@ -1,0 +1,222 @@
+"""LWW merge kernels and the delta-writer / compactor stages.
+
+The semantic core of the engine: last-writer-wins by ``(warc_ts, lsn)``
+per ``url`` with delete tombstones — the Ray-Data re-expression of the
+reference's idempotent keyed overwrite into Elasticsearch
+(``transactions-consumer/extern/elastic_client.go:42-46``: bulk action
+``index`` with explicit DocumentID = create-or-replace) combined with
+its monotone interval merge (keep max ``to`` per ``epoch-from`` key,
+``tick-intervals-consumer/consume/intervals_processor.go:103-149``).
+Ties on ``warc_ts`` are broken by ``lsn`` so replay is deterministic
+(the reference gets this "for free" from per-key overwrite order; we
+define it).
+
+Everything here is vectorized Arrow: sort_indices + adjacent-compare
+masks, no Python row loops.  ``lww_collapse`` is associative and
+commutative over row-sets, which is what makes the in-batch pre-combine
+(combiner), hot-key salting (two-level collapse) and base+delta
+compaction all correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import partition_for
+from ..state.manifest import FileEntry
+
+# LWW order: per url keep the row with max (warc_ts, lsn).
+_LWW_SORT = [("url", "ascending"), ("warc_ts", "descending"), ("lsn", "descending")]
+
+
+def _first_per_key_mask(keys: pa.Array) -> pa.Array:
+    """Boolean mask selecting the first row of each run of equal keys in
+    an array sorted by key (vectorized adjacent-compare)."""
+    n = len(keys)
+    if n == 0:
+        return pa.array([], type=pa.bool_())
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+    return pa.concat_arrays(
+        [pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq]
+    )
+
+
+def lww_collapse(table: pa.Table) -> pa.Table:
+    """Keep the winning row per url: max (warc_ts, lsn).  Output is
+    sorted by url.  Tombstone rows (op='delete') survive — dropping them
+    is a separate, later decision (snapshot/compaction)."""
+    if table.num_rows == 0:
+        return table
+    idx = pc.sort_indices(table, sort_keys=_LWW_SORT)
+    table = table.take(idx)
+    mask = _first_per_key_mask(table.column("url").combine_chunks())
+    return table.filter(mask)
+
+
+def drop_tombstones(table: pa.Table) -> pa.Table:
+    if "op" not in table.schema.names:
+        return table
+    return table.filter(pc.not_equal(table.column("op"), "delete"))
+
+
+def strip_internal(table: pa.Table, extra: tuple[str, ...] = ()) -> pa.Table:
+    from ..schema import INTERNAL_COLUMNS
+
+    drop = [c for c in (*INTERNAL_COLUMNS, *extra) if c in table.schema.names]
+    return table.drop_columns(drop) if drop else table
+
+
+class AddPartitionAndCombine:
+    """map_batches stage: normalize an event batch for the shuffle.
+
+    - adds ``part = stable_hash64(url) % P`` (THE shuffle key;
+      the url-hash analog of the reference's Kafka key partition
+      affinity, ``computors-publisher/kafka/producer.go:40-42``);
+    - optionally adds ``salt = lsn % S`` for two-level hot-key merge;
+    - pre-combines: collapses multiple events per url *within the
+      batch* (combiner) so the shuffle moves at most one row per
+      (url, batch) — the partial-aggregation pattern.
+    """
+
+    def __init__(self, num_partitions: int, salt: int = 0, combine: bool = True):
+        self.num_partitions = num_partitions
+        self.salt = salt
+        self.combine = combine
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.combine:
+            batch = lww_collapse(batch)
+        part = partition_for(batch.column("url"), self.num_partitions)
+        batch = batch.append_column("part", pa.array(part, type=pa.int32()))
+        if self.salt > 1:
+            salt = pc.cast(
+                pc.mod(batch.column("lsn"), self.salt), pa.int32()
+            )
+            batch = batch.append_column("salt", salt)
+        return batch
+
+
+def collapse_group(group: pa.Table) -> pa.Table:
+    """map_groups UDF for the salted first pass: pure LWW collapse."""
+    return lww_collapse(group)
+
+
+def atomic_write_parquet(table: pa.Table, path: str) -> int:
+    """Deterministic-content atomic parquet write; returns file bytes.
+
+    Determinism matters: re-running an epoch (duplicate delivery, task
+    retry, crash replay) must produce byte-identical files so commits
+    are idempotent overwrites.
+    """
+    tmp = f"{path}.tmp-{os.getpid()}-{np.random.randint(1 << 30)}"
+    pq.write_table(table, tmp, compression="zstd", write_statistics=True)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
+class DeltaWriter:
+    """map_groups sink stage: one group = one partition's epoch delta.
+
+    Collapses the group (LWW within the epoch), sorts by url, writes
+    ``part={P}/delta_{epoch}.parquet`` atomically, and returns a stats
+    row — the data itself never flows back to the driver.  This is the
+    LSM memtable flush of the north_star; the ES bulk-upsert analog
+    (K3, ``transactions-consumer/extern/elastic_client.go:30-81``).
+    """
+
+    def __init__(self, lake_dir: str, epoch: int, drop_columns: tuple[str, ...] = ("epoch",)):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.drop = drop_columns
+        self.__name__ = f"DeltaWriter_e{epoch}"  # ray map_groups wants a __name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        out = lww_collapse(group)
+        drop = [c for c in (*self.drop, "part", "salt") if c in out.schema.names]
+        out = out.drop_columns(drop)
+        rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
+        abspath = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        size = atomic_write_parquet(out, abspath)
+        max_lsn = pc.max(out.column("lsn")).as_py() or 0
+        return pa.table(
+            {
+                "path": [rel],
+                "partition": pa.array([part], type=pa.int32()),
+                "rows": [out.num_rows],
+                "bytes": [size],
+                "max_lsn": [max_lsn],
+            }
+        )
+
+
+class BaseWriter:
+    """map_groups sink stage for bootstrap: writes one partition's base
+    file ``part={P}/base_{tag}.parquet`` (live rows only, sorted by url,
+    no op column)."""
+
+    def __init__(self, lake_dir: str, tag: str):
+        self.lake_dir = lake_dir
+        self.tag = tag
+        self.__name__ = f"BaseWriter_{tag}"  # ray map_groups wants a __name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        out = lww_collapse(group)
+        out = strip_internal(out)
+        rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
+        abspath = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        size = atomic_write_parquet(out, abspath)
+        max_lsn = pc.max(out.column("lsn")).as_py() or 0
+        return pa.table(
+            {
+                "path": [rel],
+                "partition": pa.array([part], type=pa.int32()),
+                "rows": [out.num_rows],
+                "bytes": [size],
+                "max_lsn": [max_lsn],
+            }
+        )
+
+
+def merge_partition_files(
+    lake_dir: str,
+    base: FileEntry | None,
+    deltas: list[FileEntry],
+    unified_schema: pa.Schema,
+    *,
+    keep_tombstones: bool,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Read one partition's live base+delta files and produce its merged
+    view (vectorized concat -> LWW collapse).  Used by both the
+    snapshot reader and the compactor.
+
+    Base rows have no ``op`` column (base files only hold live rows);
+    they are treated as op='insert' during the merge.
+    """
+    from ..schema import conform
+
+    tables = []
+    for fe, is_base in ([(base, True)] if base else []) + [(f, False) for f in deltas]:
+        t = pq.read_table(os.path.join(lake_dir, fe.path))
+        if "op" not in t.schema.names:
+            op = pa.nulls(t.num_rows, pa.string()).fill_null("insert")
+            t = t.append_column("op", op)
+        tables.append(conform(t, unified_schema))
+    if not tables:
+        return unified_schema.empty_table()
+    merged = lww_collapse(pa.concat_tables(tables))
+    if not keep_tombstones:
+        merged = drop_tombstones(merged)
+    if columns:
+        merged = merged.select(columns)
+    return merged
