@@ -94,10 +94,10 @@ class AddPartitionAndCombine:
         part = partition_for(batch.column("url"), self.num_partitions)
         batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if self.salt > 1:
-            salt = pc.cast(
-                pc.mod(batch.column("lsn"), self.salt), pa.int32()
+            lsn = batch.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
+            batch = batch.append_column(
+                "salt", pa.array((lsn % self.salt).astype("int32"))
             )
-            batch = batch.append_column("salt", salt)
         return batch
 
 

@@ -1,0 +1,96 @@
+"""Compaction + tombstones: folding deltas into a new base preserves
+the merged view exactly, physically removes deleted urls
+(FIXTURES.md `test_delete_tombstones`), and later epochs keep applying
+on top of the compacted base."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+from go_data_publisher_ray.pipelines.compact import compact
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.pipelines.verify import (
+    lineage_check,
+    replay_oracle_table,
+    tables_equal,
+)
+from go_data_publisher_ray.state.manifest import Manifest
+
+P = 8
+
+
+def test_compaction_preserves_state(ray_session, small_log, lake_dir):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=6)
+    before = snapshot_table(lake_dir)
+
+    r = compact(lake_dir)
+    assert r["compacted_partitions"] == P
+    after = snapshot_table(lake_dir)
+    ok, msg = tables_equal(before, after)
+    assert ok, msg
+
+    # all deltas folded: each partition now serves from a single base file
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    for p in range(P):
+        b, deltas = state.live_files(p)
+        assert b is not None and deltas == []
+    assert lineage_check(lake_dir)["mismatches"] == []
+
+    # remaining epochs apply on top of the compacted base
+    apply_log(events, lake_dir)
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
+def test_tombstones_gone_after_compaction(ray_session, small_log, lake_dir):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+
+    man = Manifest(lake_dir)
+    state = man.load_state()
+
+    def live_rows() -> int:
+        total = 0
+        for p in range(P):
+            b, deltas = man.load_state().live_files(p)
+            for fe in ([b] if b else []) + deltas:
+                total += pq.ParquetFile(os.path.join(lake_dir, fe.path)).metadata.num_rows
+        return total
+
+    # deltas contain tombstone rows before compaction
+    deltas_have_ops = False
+    for p in range(P):
+        _b, deltas = state.live_files(p)
+        for fe in deltas:
+            t = pq.read_table(os.path.join(lake_dir, fe.path), columns=["op"])
+            if pc.any(pc.equal(t.column("op"), "delete")).as_py():
+                deltas_have_ops = True
+    assert deltas_have_ops
+
+    rows_before = live_rows()
+    want = snapshot_table(lake_dir)
+    compact(lake_dir)
+    rows_after = live_rows()
+    assert rows_after == want.num_rows  # exactly the live rows, no tombstones
+    assert rows_after < rows_before
+
+    # no op column survives in base files
+    for p in range(P):
+        b, deltas = man.load_state().live_files(p)
+        assert deltas == []
+        schema = pq.read_schema(os.path.join(lake_dir, b.path))
+        assert "op" not in schema.names
+
+    got = snapshot_table(lake_dir)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg

@@ -1,0 +1,75 @@
+"""Duplicate-delivery tolerance (F4): exact duplicate events and a
+whole re-emitted epoch must leave the final table byte-identical to the
+duplicate-free run — the engine's analog of the reference's idempotent
+``_id`` overwrite + pre-write dup filters
+(``transactions-consumer/extern/elastic_client.go:42-46``,
+``computors-consumer/consume/processor.go:89-106``)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from go_data_publisher_ray.pipelines.apply import apply_epoch, apply_log, bootstrap
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.pipelines.verify import tables_equal
+from go_data_publisher_ray.sources.generator import cached_fixture
+
+from conftest import SMALL_SPEC
+
+P = 8
+
+DUP_SPEC = dataclasses.replace(SMALL_SPEC, dup_every=20, dup_epoch=5)
+
+
+def test_duplicate_delivery(ray_session, small_log, tmp_path):
+    dup_log = cached_fixture(DUP_SPEC)
+
+    clean_lake = str(tmp_path / "clean")
+    bootstrap(os.path.join(small_log, "base"), clean_lake, P)
+    apply_log(os.path.join(small_log, "events"), clean_lake)
+    want = snapshot_table(clean_lake)
+
+    dup_lake = str(tmp_path / "dup")
+    bootstrap(os.path.join(dup_log, "base"), dup_lake, P)
+    apply_log(os.path.join(dup_log, "events"), dup_lake)
+    got = snapshot_table(dup_lake)
+
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
+def test_reapply_epoch_is_noop(ray_session, small_log, tmp_path):
+    """Re-running a committed epoch must be skipped; force-reapplying it
+    (manifest removed) must regenerate byte-identical delta files."""
+    lake = str(tmp_path / "lake")
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake, P)
+    apply_log(events, lake)
+    want = snapshot_table(lake)
+
+    r = apply_epoch(events, lake, 3)
+    assert r["skipped"]
+
+    import hashlib
+
+    man_path = os.path.join(lake, "manifest", "epoch_000003.json")
+    import json
+
+    files = [fd["path"] for fd in json.load(open(man_path))["files"]]
+    before = {
+        rel: hashlib.md5(open(os.path.join(lake, rel), "rb").read()).hexdigest()
+        for rel in files
+    }
+    os.remove(man_path)
+    r = apply_epoch(events, lake, 3)
+    assert not r["skipped"]
+    after = {
+        rel: hashlib.md5(open(os.path.join(lake, rel), "rb").read()).hexdigest()
+        for rel in files
+    }
+    assert before == after, "re-applied epoch produced different delta bytes"
+
+    got = snapshot_table(lake)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
