@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in go_data_publisher_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: the flagship CDC pipeline — deterministic synthetic
+  Common-Crawl-style pages + change log (BASELINE.json input_hint;
+  /root/testdata has no such table, so it is synthesized, seeded, per
+  the round brief), bootstrapped + applied epoch-by-epoch into the
+  partitioned lake, returning the merged snapshot Dataset.
+- ``queries()`` / ``oracle_sql()``: the operator registry
+  (go_data_publisher_ray/pipelines/queries.py) — SURVEY.md §2 coverage
+  over the driver's TPC-H-ish tables plus the training-data operators,
+  each with an exact DuckDB twin except the rows-only flagship.
 """
 
 from __future__ import annotations
@@ -20,25 +21,38 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC upsert-apply over a synthetic page lake; returns
+    the merged snapshot as a streaming Dataset."""
+    import os
+
+    from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+    from go_data_publisher_ray.pipelines.snapshot import snapshot
+    from go_data_publisher_ray.sources.generator import LogSpec, cached_fixture
+
+    spec = LogSpec(
+        n_base=2_000,
+        n_sites=40,
+        n_events=8_000,
+        epoch_size=2_000,
+        chunk_size=4_000,
+        html_min=16,
+        html_max=64,
+        text_pad=24,
+    )
+    fixture = cached_fixture(spec)
+    lake = os.path.join("/tmp/gdp_ray_lakes", "entry_" + spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+    return snapshot(lake)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from go_data_publisher_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,1027 @@
+"""The driver-facing operator/pipeline registry.
+
+Each entry pairs a Ray-Data implementation (callable: ``sf_dir`` ->
+Dataset / pyarrow Table) with an exact ANSI-SQL twin runnable by DuckDB
+over the same parquet tables — the correctness gate of the build
+(CORRECTNESS_r{N}.json).  Coverage maps SURVEY.md §2 operator-by-
+operator onto the driver's TPC-H-ish tables (`events` plays the change
+log: event_id = lsn, user_id = the upsert key, ts = the commit
+timestamp), plus the training-data operators (dedup family, similarity
+search, text analysis, multimodal plumbing).
+
+Output-hash discipline: result columns are integers, strings, raw
+(unaggregated) doubles, or timestamps — never float aggregates, whose
+summation order differs between engines.  Computed columns carry the
+same name on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as textfn
+from ..functions.hashing import md5_hex_array
+from ..stages import ann as ann_stage
+from ..stages import dedup as dedup_stage
+from ..stages.merge import keep_last_by
+from ..stages.multimodal import DecoderStub, to_payload
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _agg(**aliases):
+    """Aggregate helpers by alias: _agg(last_lsn=("max","event_id"))."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ctor = {"max": Max, "min": Min, "sum": Sum}
+    out = []
+    for alias, spec in aliases.items():
+        if spec == "count":
+            out.append(Count(alias_name=alias))
+        else:
+            kind, col = spec
+            out.append(ctor[kind](col, alias_name=alias))
+    return out
+
+
+# ======================================================================
+# CDC core over the `events` change log (event_id=lsn, user_id=key)
+# ======================================================================
+
+
+class _AddEpochPart:
+    """Vectorized envelope derivation: epoch = lsn // epoch_size (the
+    commit fence, `entities/tx.go:17-25` analog) and part = key % P
+    (Kafka key-partition affinity analog,
+    `computors-publisher/kafka/producer.go:40-42`)."""
+
+    def __init__(self, epoch_size: int = 1000, parts: int = 64, precombine: tuple | None = None):
+        self.epoch_size = epoch_size
+        self.parts = parts
+        self.precombine = precombine
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        t = t.append_column("epoch", pa.array(eid // self.epoch_size))
+        t = t.append_column("part", pa.array(uid % self.parts))
+        if self.precombine:
+            keys, order = self.precombine
+            t = keep_last_by(t, list(keys), list(order))
+        return t
+
+
+@query(
+    "cdc_lww_latest",
+    """
+    SELECT user_id, ts, event_type, value, event_id AS lsn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_lww_latest(sf_dir: str):
+    """LWW latest state per key: the upsert-apply semantic in miniature
+    (K3 analog).  In-batch pre-combine then per-partition collapse —
+    the same two-level merge as the lake pipeline."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        _AddEpochPart(precombine=(("user_id",), ("ts", "event_id"))),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("part").map_groups(
+        lambda g: keep_last_by(g, ["user_id"], ["ts", "event_id"]),
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "ts", "event_type", "value", "event_id"]).rename_columns(
+            ["user_id", "ts", "event_type", "value", "lsn"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "cdc_lww_with_deletes",
+    """
+    SELECT user_id, ts, value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_lww_with_deletes(sf_dir: str):
+    """LWW with tombstones: keys whose winning event is a delete
+    (mapped: event_type='error') vanish from the final state."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        _AddEpochPart(precombine=(("user_id",), ("ts", "event_id"))),
+        batch_format="pyarrow",
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = keep_last_by(g, ["user_id"], ["ts", "event_id"])
+        g = g.filter(pc.not_equal(g.column("event_type"), "error"))
+        return g.select(["user_id", "ts", "value"])
+
+    return ds.groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+@query(
+    "cdc_watermark_per_epoch",
+    """
+    SELECT event_id // 1000 AS epoch,
+           max(event_id) AS last_lsn,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_watermark_per_epoch(sf_dir: str):
+    """Epoch watermarks (A2 analog: max-tick per epoch,
+    `status-service/rpc/status_service.go:210-216`)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    ds = ds.map_batches(_AddEpochPart(), batch_format="pyarrow")
+    return ds.groupby("epoch").aggregate(
+        *_agg(last_lsn=("max", "event_id"), n_events="count")
+    )
+
+
+@query(
+    "cdc_partition_lineage",
+    """
+    SELECT user_id % 8 AS part,
+           max(event_id) AS last_lsn,
+           count(*) AS row_count
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_partition_lineage(sf_dir: str):
+    """Per-partition checkpoint lineage {last_lsn, row_count} (K4
+    analog, the pebble watermark)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    ds = ds.map_batches(_AddEpochPart(parts=8), batch_format="pyarrow")
+    return ds.groupby("part").aggregate(
+        *_agg(last_lsn=("max", "event_id"), row_count="count")
+    )
+
+
+@query(
+    "cdc_interval_merge",
+    """
+    SELECT event_id // 1000 AS epoch, user_id,
+           min(event_id) AS from_lsn, max(event_id) AS to_lsn
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_interval_merge(sf_dir: str):
+    """Processed-interval derivation + monotone merge (J3/T5 analog:
+    same (epoch,from) keeps max `to`,
+    `tick-intervals-consumer/consume/intervals_processor.go:103-149`)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    ds = ds.map_batches(_AddEpochPart(), batch_format="pyarrow")
+    return ds.groupby(["epoch", "user_id"]).aggregate(
+        *_agg(from_lsn=("min", "event_id"), to_lsn=("max", "event_id"))
+    )
+
+
+@query(
+    "cdc_gap_check",
+    """
+    SELECT event_id // 1000 AS epoch,
+           count(*) AS n_events,
+           (max(event_id) - min(event_id) + 1) - count(*) AS gap_rows
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_gap_check(sf_dir: str):
+    """Gap detection per epoch (A3 analog, `calculateSkippedTicks`,
+    `status-service/rpc/status_service.go:218-231`): covered span minus
+    observed count."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    ds = ds.map_batches(_AddEpochPart(), batch_format="pyarrow")
+    agg = ds.groupby("epoch").aggregate(
+        *_agg(n_events="count", lo=("min", "event_id"), hi=("max", "event_id"))
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        span = pc.add(pc.subtract(t.column("hi"), t.column("lo")), 1)
+        return pa.table(
+            {
+                "epoch": t.column("epoch"),
+                "n_events": t.column("n_events"),
+                "gap_rows": pc.subtract(span, t.column("n_events")),
+            }
+        )
+
+    return agg.map_batches(gaps, batch_format="pyarrow")
+
+
+@query(
+    "cdc_route_split",
+    """
+    SELECT CASE WHEN event_type = 'view' AND value < 5 THEN 'ephemeral'
+                ELSE 'permanent' END AS route,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_route_split(sf_dir: str):
+    """Ephemeral/permanent sink routing (M5 analog,
+    `transactions-consumer/consume/transaction_consumer.go:119-123`)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def route(t: pa.Table) -> pa.Table:
+        eph = pc.and_(
+            pc.equal(t.column("event_type"), "view"), pc.less(t.column("value"), 5.0)
+        )
+        return t.append_column(
+            "route", pc.if_else(eph, pa.scalar("ephemeral"), pa.scalar("permanent"))
+        )
+
+    return ds.map_batches(route, batch_format="pyarrow").groupby("route").aggregate(
+        *_agg(n="count")
+    )
+
+
+@query(
+    "cdc_content_dedup",
+    """
+    SELECT user_id, count(DISTINCT props) AS n_unique_payloads
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_content_dedup(sf_dir: str):
+    """Content-addressed duplicate suppression per key (T4 analog:
+    per-epoch checksum dedup, `computors-publisher/sync/processor.go:122-145`)."""
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+    pairs = ds.groupby(["user_id", "props"]).aggregate(*_agg(n="count"))
+    return pairs.groupby("user_id").aggregate(*_agg(n_unique_payloads="count"))
+
+
+@query(
+    "cdc_filter_valid",
+    """
+    SELECT event_type, count(*) AS n_valid
+    FROM events
+    WHERE value > 1.0 AND user_id % 3 <> 0
+    GROUP BY 1
+    """,
+)
+def cdc_filter_valid(sf_dir: str):
+    """Validity predicate at decode (M3 analog: reject zero-epoch /
+    sentinel records, `tick-data-consumer/kafka/client.go:72-79`)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def valid(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        mask = pc.and_(
+            pc.greater(t.column("value"), 1.0), pa.array((uid % 3) != 0)
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(valid, batch_format="pyarrow").groupby("event_type").aggregate(
+        *_agg(n_valid="count")
+    )
+
+
+# ======================================================================
+# Reference-shaped relational operators over the TPC-H-ish tables
+# ======================================================================
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def agg_pricing_summary(sf_dir: str):
+    """Wide grouped aggregate with partial pre-aggregation inside the
+    map stage (the combiner pattern; A1-family)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_sum", "p_cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        *_agg(sum_qty=("sum", "p_sum"), count_order=("sum", "p_cnt"))
+    )
+
+
+@query(
+    "join_orders_by_region",
+    """
+    SELECT r.r_name, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def join_orders_by_region(sf_dir: str):
+    """Broadcast join: the small dimension chain (customer->nation->
+    region) is built once on the driver and shipped via ray.put; the
+    fact table never shuffles (J4 analog: epoch-for-tick range lookup
+    against a broadcast interval table)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["r_name"])))
+
+    class MapRegion:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pandas()
+            return pa.table({"r_name": pa.array(keys.map(self.lookup))})
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    mapped = ds.map_batches(MapRegion, batch_format="pyarrow", concurrency=2)
+    return mapped.groupby("r_name").aggregate(*_agg(n_orders="count"))
+
+
+@query(
+    "top1_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def top1_latest_order_per_customer(sf_dir: str):
+    """Top-1 per group (O2 analog: latest computors by tick within an
+    epoch, `computors-consumer/elastic/client.go:87-91`)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.append_column("part", pa.array(k % 64))
+        return keep_last_by(t, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+
+    ds = ds.map_batches(part, batch_format="pyarrow")
+    out = ds.groupby("part").map_groups(
+        lambda g: keep_last_by(g, ["o_custkey"], ["o_orderdate", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+
+def _user_day_keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(user_id, epoch-day) composite key packed into one int64."""
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    days = ts_us // 86_400_000_000
+    return uid * 100_000 + days, days
+
+
+@query(
+    "anti_join_clicks_no_purchase",
+    """
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'click')
+    EXCEPT
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase')
+    """,
+)
+def anti_join_clicks_no_purchase(sf_dir: str):
+    """Anti-join via a broadcast key set (set-difference analog,
+    `status-service/util/set.go:21-37`): (user, day) pairs that clicked
+    but never purchased that day.  The purchase side is the small set —
+    shipped once via ray.put and probed per batch with np.isin."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    purchases = ds.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: pa.table({"key": pa.array(_user_day_keys(t)[0])}),
+        batch_format="pyarrow",
+    )
+    pref = ray.put(np.unique(np.asarray(purchases.unique("key"), dtype=np.int64)))
+
+    class AntiFilter:
+        def __init__(self):
+            self.exclude = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), "click"))
+            keys, days = _user_day_keys(t)
+            keep = ~np.isin(keys, self.exclude)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id").filter(pa.array(keep)),
+                    "day": pa.array(days[keep] * 86_400_000_000).cast(
+                        pa.timestamp("us")
+                    ).cast(pa.date32()),
+                }
+            )
+
+    out = ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+    return (
+        out.groupby(["user_id", "day"])
+        .aggregate(*_agg(n="count"))
+        .select_columns(["user_id", "day"])
+    )
+
+
+@query(
+    "sort_intervals",
+    """
+    SELECT * FROM (
+      SELECT event_id // 1000 AS epoch, user_id,
+             min(event_id) AS from_lsn, max(event_id) AS to_lsn
+      FROM events GROUP BY 1, 2)
+    ORDER BY epoch ASC, to_lsn ASC
+    LIMIT 1000
+    """,
+)
+def sort_intervals(sf_dir: str):
+    """Sorted interval listing (O1 analog: ES sort (epoch asc, to asc)
+    size 1000, `status-service/elastic/client_tick_intervals.go:16-17`)."""
+    return cdc_interval_merge(sf_dir).sort(["epoch", "to_lsn"]).limit(1000)
+
+
+# ======================================================================
+# Training-data operators: text analysis over `documents`
+# ======================================================================
+
+_WS_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_count",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '\\w+'))) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def text_token_count(sf_dir: str):
+    """Token counting (regex \\w+ — the BPE-ish pre-tokenizer) with
+    per-batch partial aggregation."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = textfn.count_word_tokens(t.column("text").to_pylist())
+        g = (
+            pa.table({"lang": t.column("lang"), "tok": pa.array(toks)})
+            .group_by("lang")
+            .aggregate([("tok", "sum"), ("tok", "count")])
+        )
+        return g.rename_columns(["lang", "p_tok", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*_agg(n_docs=("sum", "p_cnt"), n_tokens=("sum", "p_tok")))
+    )
+
+
+_EN = textfn.LANG_MARKERS["en"]
+
+
+@query(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           len({_WS_TOKENS_SQL}) AS n_tokens,
+           len(list_filter({_WS_TOKENS_SQL}, x -> x IN ({_in_list_sql(_EN)}))) AS n_stop,
+           CASE WHEN len({_WS_TOKENS_SQL}) >= {textfn.QUALITY_MIN_TOKENS}
+                 AND 100 * len(list_filter({_WS_TOKENS_SQL}, x -> x IN ({_in_list_sql(_EN)})))
+                     >= {textfn.QUALITY_MIN_STOP_X100} * len({_WS_TOKENS_SQL})
+                THEN 1 ELSE 0 END AS is_quality
+    FROM documents
+    """,
+)
+def text_quality_score(sf_dir: str):
+    """Quality scoring: length + stopword-ratio heuristics (integer
+    outputs only, so the SQL twin hashes identically)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Scorer:
+        def __init__(self):
+            self.markers = frozenset(_EN)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            n_tok = np.empty(len(texts), dtype=np.int64)
+            n_stop = np.empty(len(texts), dtype=np.int64)
+            for i, txt in enumerate(texts):
+                toks = txt.split()
+                n_tok[i] = len(toks)
+                n_stop[i] = sum(1 for w in toks if w in self.markers)
+            quality = (
+                (n_tok >= textfn.QUALITY_MIN_TOKENS)
+                & (100 * n_stop >= textfn.QUALITY_MIN_STOP_X100 * n_tok)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": pa.array(n_tok),
+                    "n_stop": pa.array(n_stop),
+                    "is_quality": pa.array(quality),
+                }
+            )
+
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter({_WS_TOKENS_SQL}, x -> x IN "
+        f"({_in_list_sql(textfn.LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in textfn.LANG_PRIORITY
+    )
+    cases = []
+    for lang in textfn.LANG_PRIORITY:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in textfn.LANG_PRIORITY if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"""
+    SELECT lang_pred, count(*) AS n_docs FROM (
+      SELECT {case_sql} AS lang_pred FROM (
+        SELECT {scores} FROM documents))
+    GROUP BY 1
+    """
+
+
+@query("text_langid", _langid_sql())
+def text_langid(sf_dir: str):
+    """Heuristic language ID: marker-word occurrence scores, argmax with
+    fixed priority tie-break."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    class LangId:
+        def __init__(self):
+            self.msets = [
+                (lang, frozenset(textfn.LANG_MARKERS[lang]))
+                for lang in textfn.LANG_PRIORITY
+            ]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = []
+            for txt in t.column("text").to_pylist():
+                toks = txt.split()
+                scores = [sum(1 for w in toks if w in m) for _l, m in self.msets]
+                best = max(scores)
+                preds.append(
+                    next(l for (l, _m), s in zip(self.msets, scores) if s == best)
+                )
+            return pa.table({"lang_pred": pa.array(preds)})
+
+    return (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .groupby("lang_pred")
+        .aggregate(*_agg(n_docs="count"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    "SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def text_fingerprint(sf_dir: str):
+    """Content fingerprint per document (M7/T4 analog: content-hash
+    identity, `computors-publisher/sync/processor.go:228-257`)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "fp": pa.array(md5_hex_array(t.column("text")))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ======================================================================
+# Training-data operators: dedup family over `documents`
+# ======================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition, keep first doc per hash."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "fp": pa.array(md5_hex_array(t.column("text")))}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hashed.groupby("fp").aggregate(
+        *_agg(doc_id=("min", "doc_id"), n_copies="count")
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+_NGRAM_SQL = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 1)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM w WHERE len(toks) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 10 * inter >= 3 * (sa.sz + sb.sz - inter)
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(sf_dir: str):
+    """Near-dup candidates by word-3-gram Jaccard >= 0.3, via a shingle
+    inverted index (explode -> groupby shingle -> pairs -> combine) —
+    no all-pairs scan."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shingles = ds.map_batches(dedup_stage.shingle_table, batch_format="pyarrow")
+    # doc -> shingle-set size (small: one row per doc), broadcast
+    sizes = shingles.groupby("doc_id").aggregate(*_agg(sz="count")).take_all()
+    size_ref = ray.put({r["doc_id"]: r["sz"] for r in sizes})
+    pair_counts = (
+        shingles.groupby("shingle")
+        .map_groups(dedup_stage.pairs_from_posting, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(*_agg(inter="count"))
+    )
+
+    class Finish:
+        def __init__(self):
+            self.sizes = ray.get(size_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            da = t.column("doc_a").to_numpy(zero_copy_only=False)
+            db = t.column("doc_b").to_numpy(zero_copy_only=False)
+            inter = t.column("inter").to_numpy(zero_copy_only=False)
+            sa = np.array([self.sizes[d] for d in da], dtype=np.int64)
+            sb = np.array([self.sizes[d] for d in db], dtype=np.int64)
+            uni = sa + sb - inter
+            keep = 10 * inter >= 3 * uni
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep]),
+                    "doc_b": pa.array(db[keep]),
+                    "inter": pa.array(inter[keep]),
+                    "uni": pa.array(uni[keep]),
+                }
+            )
+
+    return pair_counts.map_batches(Finish, batch_format="pyarrow", concurrency=2)
+
+
+def _minhash_sql() -> str:
+    perms = ", ".join(
+        f"({i}, {k}::BIGINT)" for i, k in enumerate(dedup_stage.XOR_KEYS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 1)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM w WHERE len(toks) >= 3),
+    si AS (
+      SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS s
+      FROM g),
+    sig AS (
+      SELECT doc_id, p, min(xor(s, key)) AS h
+      FROM si CROSS JOIN (VALUES {perms}) AS perms(p, key)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, p // {dedup_stage.BAND_ROWS} AS band,
+             max(CASE WHEN p % 2 = 0 THEN h END) AS h0,
+             max(CASE WHEN p % 2 = 1 THEN h END) AS h1
+      FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates: shingle->minhash signature->
+    band buckets->groupby — the scale path for Jaccard dedup (the
+    inverted index never materializes all pairs)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(dedup_stage.minhash_signatures, batch_format="pyarrow")
+    pairs = (
+        sigs.groupby(["band", "h0", "h1"])
+        .map_groups(dedup_stage.pairs_from_posting, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(*_agg(n="count"))
+    )
+    return pairs.select_columns(["doc_a", "doc_b"])
+
+
+def _simhash_sql_core() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range({dedup_stage.SIMHASH_BITS})) AS b) b
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM votes GROUP BY 1)
+    """
+
+
+@query(
+    "dedup_simhash_fingerprint",
+    _simhash_sql_core() + "SELECT doc_id, simhash FROM fp",
+)
+def dedup_simhash_fingerprint(sf_dir: str):
+    """60-bit SimHash fingerprint per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(dedup_stage.simhash_fingerprints, batch_format="pyarrow")
+
+
+@query(
+    "dedup_simhash_pairs",
+    _simhash_sql_core()
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3), candidates generated by
+    15-bit chunk blocking: with 4 chunks, hamming <= 3 guarantees at
+    least one chunk is equal (pigeonhole), so the blocked candidate set
+    is EXACT — no all-pairs scan, only a groupby on (chunk, value)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = ds.map_batches(dedup_stage.simhash_fingerprints, batch_format="pyarrow")
+    chunks = fps.map_batches(dedup_stage.simhash_chunks, batch_format="pyarrow")
+    import functools
+
+    pairs = chunks.groupby(["chunk", "val"]).map_groups(
+        functools.partial(dedup_stage.hamming_pairs_from_bucket, max_hamming=3),
+        batch_format="pyarrow",
+    )
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(*_agg(hamming=("min", "hamming")))
+    return uniq
+
+
+# ======================================================================
+# Training-data operators: similarity search over `embeddings`
+# ======================================================================
+
+N_QUERIES = 10
+TOP_K = 5
+N_CELLS = 8
+COS_DUP_THRESHOLD = 0.35
+
+
+def _load_vectors(sf_dir: str, max_id: int) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t.column("vec_id"), max_id))
+    return {
+        "ids": t.column("vec_id").to_numpy(zero_copy_only=False),
+        "matrix": ann_stage.fixed_len_matrix(t.column("embedding")),
+    }
+
+
+@query(
+    "knn_bruteforce",
+    f"""
+    SELECT query_id, "rank", neighbor_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        e.vec_id ASC) AS "rank"
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      WHERE e.vec_id <> q.vec_id)
+    WHERE "rank" <= {TOP_K}
+    """,
+)
+def knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+    matmul, tiny per-query reduce."""
+    import functools
+
+    import ray
+
+    qref = ray.put(_load_vectors(sf_dir, N_QUERIES))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ds.map_batches(
+        ann_stage.BruteForceTopK,
+        fn_constructor_args=(qref, TOP_K),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cands.groupby("query_id").map_groups(
+        functools.partial(ann_stage.topk_reduce, k=TOP_K), batch_format="pyarrow"
+    )
+
+
+_CELL_SQL = f"""
+    cells AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[])) AS cell_id
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_CELLS}) c
+      GROUP BY e.vec_id, e.embedding)
+"""
+
+
+@query(
+    "ann_ivf_assign",
+    f"WITH {_CELL_SQL} SELECT cell_id, count(*) AS n_vectors FROM cells GROUP BY 1",
+)
+def ann_ivf_assign(sf_dir: str):
+    """IVF cell assignment (nearest of {N_CELLS} centroid vectors) —
+    the bucketing that makes similarity ops scale."""
+    import ray
+
+    cref = ray.put(_load_vectors(sf_dir, N_CELLS))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        ann_stage.CellAssigner,
+        fn_constructor_args=(cref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return assigned.groupby("cell_id").aggregate(*_agg(n_vectors="count"))
+
+
+@query(
+    "embedding_cosine_dedup",
+    f"""
+    WITH {_CELL_SQL}
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COS_DUP_THRESHOLD}
+    """,
+)
+def embedding_cosine_dedup(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= threshold), blocked by IVF
+    cell — pairs are only computed within a cell (documented
+    approximation; the exact variant is knn_bruteforce)."""
+    import functools
+
+    import ray
+
+    cref = ray.put(_load_vectors(sf_dir, N_CELLS))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        ann_stage.CellAssigner,
+        fn_constructor_args=(cref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return assigned.groupby("cell_id").map_groups(
+        functools.partial(ann_stage.cosine_pairs_in_cell, threshold=COS_DUP_THRESHOLD),
+        batch_format="pyarrow",
+    )
+
+
+# ======================================================================
+# Multimodal plumbing (stubbed decode, real dataflow)
+# ======================================================================
+
+
+@query(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           octet_length(text::BLOB) // 256 AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(sf_dir: str):
+    """Binary-payload plumbing: wrap text bytes as an opaque payload,
+    run the actor-pool decoder stub with small batches (the real-codec
+    batch layout)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    payloads = ds.map_batches(to_payload, batch_format="pyarrow")
+    return payloads.map_batches(
+        DecoderStub,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+# ======================================================================
+# Flagship (rows-only: operates on the engine's own synthesized lake)
+# ======================================================================
+
+
+def flagship_snapshot(sf_dir: str):
+    """End-to-end CDC apply on a deterministic synthetic pages+events
+    fixture, returning the merged lake snapshot.  Not SQL-expressible
+    over the driver's views (it owns its own tables) — correctness is
+    enforced by the in-repo pytest oracles instead."""
+    from ..sources.generator import LogSpec, cached_fixture
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot_table
+
+    spec = LogSpec(
+        n_base=2_000,
+        n_sites=40,
+        n_events=8_000,
+        epoch_size=2_000,
+        chunk_size=4_000,
+        html_min=16,
+        html_max=64,
+        text_pad=24,
+    )
+    fixture = cached_fixture(spec)
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+    return snapshot_table(lake)
+
+
+QUERIES["cdc_apply_snapshot"] = flagship_snapshot

@@ -58,6 +58,31 @@ def lww_collapse(table: pa.Table) -> pa.Table:
     return table.filter(mask)
 
 
+def keep_last_by(
+    table: pa.Table, key_cols: list[str], order_cols: list[str]
+) -> pa.Table:
+    """Generalized LWW: keep one row per composite key, the max by
+    ``order_cols`` (all descending).  Same vectorized sort +
+    adjacent-compare approach as ``lww_collapse``; keys must be
+    non-null."""
+    if table.num_rows == 0:
+        return table
+    sort_keys = [(k, "ascending") for k in key_cols] + [
+        (c, "descending") for c in order_cols
+    ]
+    table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
+    n = table.num_rows
+    change = None
+    for k in key_cols:
+        keys = table.column(k).combine_chunks()
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        change = neq if change is None else pc.or_(change, neq)
+    mask = pa.concat_arrays([pa.array([True]), change])
+    return table.filter(mask)
+
+
 def drop_tombstones(table: pa.Table) -> pa.Table:
     if "op" not in table.schema.names:
         return table
