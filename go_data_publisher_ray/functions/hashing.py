@@ -43,6 +43,15 @@ def partition_for(values, num_partitions: int) -> np.ndarray:
     return (stable_hash64(values) % np.uint64(num_partitions)).astype(np.int32)
 
 
+def hash_and_partition(values, num_partitions: int) -> tuple[np.ndarray, np.ndarray]:
+    """One hash pass -> (int64 url hash, partition id).  The hash is
+    kept as a sort-accelerator column: sorting by (hash, url) compares
+    long url strings only within hash-equal runs."""
+    h = stable_hash64(values)
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return h.astype(np.int64), part
+
+
 def md5_hex(s: str) -> str:
     """Hex md5 of a UTF-8 string; identical to DuckDB ``md5(s)``."""
     return hashlib.md5(s.encode("utf-8")).hexdigest()

@@ -56,6 +56,29 @@ def _stats_to_entries(rows: list[dict]) -> list[FileEntry]:
     ]
 
 
+_TARGET_SHUFFLE_BLOCK = 32 << 20  # ~32 MiB of input per sort-map task
+
+
+def _read_blocks_for(total_bytes: int) -> int:
+    """Choose override_num_blocks for the epoch read: enough blocks to
+    keep every core busy through the sort shuffle, but not so many that
+    per-task overhead dominates (measured: 8-16 blocks for ~165 MiB at
+    32 cpus is the sweet spot; tiny blocks regress)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    by_bytes = max(1, total_bytes // _TARGET_SHUFFLE_BLOCK)
+    return int(max(min(cpus // 2, 16), min(by_bytes, cpus * 2)))
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _parquet_dir_schema(path: str):
     """Unified Arrow schema of all parquet files in a directory (driver
     side, metadata only)."""
@@ -77,7 +100,7 @@ def bootstrap(
     lake_dir: str,
     num_partitions: int,
     *,
-    batch_size: int = 16384,
+    batch_size: int = 65536,
 ) -> dict:
     """Load the initial base table (F1) into the partitioned lake as
     compaction record 0 (``upto_epoch=-1``)."""
@@ -86,7 +109,9 @@ def bootstrap(
     if man.load_state().base:
         return {"skipped": True}
     t0 = time.perf_counter()
-    ds = rd.read_parquet(base_dir)
+    ds = rd.read_parquet(
+        base_dir, override_num_blocks=_read_blocks_for(_dir_bytes(base_dir))
+    )
     ds = ds.map_batches(
         AddPartitionAndCombine(num_partitions, combine=False),
         batch_format="pyarrow",
@@ -112,15 +137,25 @@ def apply_epoch(
     *,
     salt: int = 0,
     batch_size: int = 65536,
+    force: bool = False,
 ) -> dict:
-    """Apply one epoch of change events; idempotent (skip if committed)."""
+    """Apply one epoch of change events; idempotent (skip if committed).
+
+    ``force=True`` re-applies a committed epoch from its current files —
+    the late-data/backfill path (the analog of re-publishing old ticks,
+    `transactions-producer/domain/processor.go:76-96` PublishSingleTicks):
+    if the epoch directory gained late event files, the delta and the
+    manifest record are rebuilt; if nothing changed, the rewrite is
+    byte-identical (idempotent overwrite)."""
     rd = _ray_data()
     man = Manifest(lake_dir)
-    if man.has_epoch(epoch):
+    if man.has_epoch(epoch) and not force:
         return {"epoch": epoch, "skipped": True}
     t0 = time.perf_counter()
     edir = os.path.join(events_dir, f"epoch={epoch}")
-    if not os.path.isdir(edir):
+    if not os.path.isdir(edir) or not any(
+        f.endswith(".parquet") for f in os.listdir(edir)
+    ):
         # empty epoch: commit an empty fence so resume logic stays simple
         man.commit_epoch(epoch, [], man.load_state().schema, metrics={"events": 0})
         return {"epoch": epoch, "skipped": False, "events": 0, "sec": 0.0}
@@ -130,7 +165,7 @@ def apply_epoch(
         for f in os.listdir(edir)
         if f.endswith(".parquet")
     )
-    ds = rd.read_parquet(edir)
+    ds = rd.read_parquet(edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir)))
     ds = ds.map_batches(
         AddPartitionAndCombine(man.num_partitions, salt=salt),
         batch_format="pyarrow",
@@ -143,9 +178,9 @@ def apply_epoch(
     )
     entries = _stats_to_entries(stats.take_all())
 
-    epoch_schema = _parquet_dir_schema(edir).remove(
-        _parquet_dir_schema(edir).get_field_index("epoch")
-    )
+    epoch_schema = _parquet_dir_schema(edir)
+    if "epoch" in epoch_schema.names:
+        epoch_schema = epoch_schema.remove(epoch_schema.get_field_index("epoch"))
     sec = time.perf_counter() - t0
     man.commit_epoch(
         epoch,

@@ -79,9 +79,13 @@ def compact(
     lake_dir: str,
     *,
     min_deltas: int = 1,
-    concurrency: int = 4,
+    concurrency: int = 8,
 ) -> dict:
-    """Compact every partition holding >= min_deltas live delta files."""
+    """Compact every partition holding >= min_deltas live delta files.
+
+    The actor pool is capped so each actor amortizes its process
+    startup over >=4 partitions — spinning one actor per partition
+    measurably regresses (actor start ~1s each)."""
     import ray.data as rd
 
     t0 = time.perf_counter()
@@ -119,7 +123,7 @@ def compact(
             fn_constructor_args=(lake_dir, schema_mod.schema_to_json(schema), f"c{cid:06d}"),
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=min(concurrency, len(items)),
+            concurrency=max(1, min(concurrency, len(items) // 4 or 1)),
         )
         .take_all()
     )

@@ -311,6 +311,33 @@ def cdc_filter_valid(sf_dir: str):
     )
 
 
+@query(
+    "cdc_parse_payload",
+    """
+    SELECT json_extract(props, '$.k')::BIGINT // 10 AS k_bucket,
+           count(*) AS n,
+           max(event_id) AS last_lsn
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_parse_payload(sf_dir: str):
+    """Wire-format decode (S5 analog: JSON over Kafka -> struct,
+    `tick-data-consumer/kafka/client.go:72-79`): vectorized JSON-field
+    extraction with an Arrow re2 kernel, no Python row loop."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)'), "k"
+        )
+        bucket = pc.divide(pc.cast(ks, pa.int64()), 10)
+        return pa.table({"k_bucket": bucket, "event_id": t.column("event_id")})
+
+    return ds.map_batches(parse, batch_format="pyarrow").groupby("k_bucket").aggregate(
+        *_agg(n="count", last_lsn=("max", "event_id"))
+    )
+
+
 # ======================================================================
 # Reference-shaped relational operators over the TPC-H-ish tables
 # ======================================================================

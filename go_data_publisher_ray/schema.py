@@ -54,7 +54,7 @@ DELTA_SCHEMA = pa.schema(PAGE_FIELDS + [("lsn", pa.int64()), ("op", pa.string())
 OPS = ("insert", "update", "delete")
 
 # Columns internal to the engine, dropped from user-facing snapshots.
-INTERNAL_COLUMNS = ("op", "part", "salt")
+INTERNAL_COLUMNS = ("op", "part", "salt", "urlhash")
 
 
 def schema_to_json(schema: pa.Schema) -> str:

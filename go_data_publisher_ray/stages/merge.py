@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.hashing import partition_for
+from ..functions.hashing import hash_and_partition, partition_for
 from ..state.manifest import FileEntry
 
 # LWW order: per url keep the row with max (warc_ts, lsn).
@@ -48,11 +48,17 @@ def _first_per_key_mask(keys: pa.Array) -> pa.Array:
 
 def lww_collapse(table: pa.Table) -> pa.Table:
     """Keep the winning row per url: max (warc_ts, lsn).  Output is
-    sorted by url.  Tombstone rows (op='delete') survive — dropping them
-    is a separate, later decision (snapshot/compaction)."""
+    sorted by url (hash-first when a precomputed ``urlhash`` column is
+    present: long url strings then only compare within hash-equal runs,
+    which is markedly cheaper).  Tombstone rows (op='delete') survive —
+    dropping them is a separate, later decision (snapshot/compaction)."""
     if table.num_rows == 0:
         return table
-    idx = pc.sort_indices(table, sort_keys=_LWW_SORT)
+    if "urlhash" in table.schema.names:
+        sort_keys = [("urlhash", "ascending")] + _LWW_SORT
+    else:
+        sort_keys = _LWW_SORT
+    idx = pc.sort_indices(table, sort_keys=sort_keys)
     table = table.take(idx)
     mask = _first_per_key_mask(table.column("url").combine_chunks())
     return table.filter(mask)
@@ -114,10 +120,11 @@ class AddPartitionAndCombine:
         self.combine = combine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        urlhash, part = hash_and_partition(batch.column("url"), self.num_partitions)
+        batch = batch.append_column("urlhash", pa.array(urlhash))
+        batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if self.combine:
             batch = lww_collapse(batch)
-        part = partition_for(batch.column("url"), self.num_partitions)
-        batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if self.salt > 1:
             lsn = batch.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
             batch = batch.append_column(
@@ -164,7 +171,7 @@ class DeltaWriter:
     def __call__(self, group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
         out = lww_collapse(group)
-        drop = [c for c in (*self.drop, "part", "salt") if c in out.schema.names]
+        drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
         out = out.drop_columns(drop)
         rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
         abspath = os.path.join(self.lake_dir, rel)
@@ -239,7 +246,15 @@ def merge_partition_files(
         tables.append(conform(t, unified_schema))
     if not tables:
         return unified_schema.empty_table()
-    merged = lww_collapse(pa.concat_tables(tables))
+    merged = pa.concat_tables(tables)
+    # hash-accelerated collapse (the hash column is internal, stripped
+    # by callers via strip_internal)
+    from ..functions.hashing import stable_hash64
+
+    merged = merged.append_column(
+        "urlhash", pa.array(stable_hash64(merged.column("url")).astype("int64"))
+    )
+    merged = lww_collapse(merged).drop_columns(["urlhash"])
     if not keep_tombstones:
         merged = drop_tombstones(merged)
     if columns:

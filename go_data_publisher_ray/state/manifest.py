@@ -40,20 +40,25 @@ import pyarrow as pa
 from .. import schema as schema_mod
 
 
-def atomic_write_bytes(path: str, data: bytes) -> None:
+def atomic_write_bytes(path: str, data: bytes, *, sync: bool = True) -> None:
     """Write-temp-then-rename; safe under concurrent identical writers
     (last rename wins with identical content — the ES ``_id`` overwrite
-    analog)."""
+    analog).  ``sync=False`` skips fsync for *derived* state that can be
+    rebuilt from the manifests (checkpoints) — the commit point itself
+    is always fsync'd, like the reference's ``pebble.Sync`` watermark
+    (`transactions-producer/infrastructure/store/pebbledb/store.go:35`).
+    """
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
         f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
+        if sync:
+            f.flush()
+            os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
-def atomic_write_json(path: str, obj) -> None:
-    atomic_write_bytes(path, json.dumps(obj, sort_keys=True, indent=1).encode())
+def atomic_write_json(path: str, obj, *, sync: bool = True) -> None:
+    atomic_write_bytes(path, json.dumps(obj, sort_keys=True, indent=1).encode(), sync=sync)
 
 
 def read_json(path: str):
@@ -246,7 +251,9 @@ class Manifest:
                 "bytes": sum(f.bytes for f in files),
             }
             atomic_write_json(
-                os.path.join(self.checkpoint_dir, f"part_{part:05d}.json"), rec
+                os.path.join(self.checkpoint_dir, f"part_{part:05d}.json"),
+                rec,
+                sync=False,
             )
 
     def read_checkpoint(self, part: int) -> dict:

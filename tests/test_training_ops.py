@@ -1,0 +1,159 @@
+"""Unit tests for the training-data operator kernels (dedup family,
+ANN, text analysis, multimodal plumbing) plus a fast regression run of
+a few registry queries against their DuckDB oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from go_data_publisher_ray.functions.hashing import md5_hex, md5_int64
+from go_data_publisher_ray.functions.text import predict_lang, whitespace_tokens, word_ngrams
+from go_data_publisher_ray.stages import ann, dedup
+from go_data_publisher_ray.stages.multimodal import DecoderStub, to_payload
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_md5_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    hex_sql, int_sql = con.execute(
+        "SELECT md5('abc'), ('0x' || substr(md5('abc'), 1, 15))::BIGINT"
+    ).fetchone()
+    assert md5_hex("abc") == hex_sql
+    assert md5_int64("abc") == int_sql
+
+
+def test_minhash_contains_true_neardups():
+    """Docs sharing almost all shingles must collide in >=1 LSH band."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base + "tail word"
+    far = "completely different tokens " * 12
+    t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    sig = dedup.minhash_signatures(t)
+    rows = sig.to_pylist()
+    bands = {}
+    for r in rows:
+        bands.setdefault((r["band"], r["h0"], r["h1"]), set()).add(r["doc_id"])
+    collide = {frozenset(v) for v in bands.values() if len(v) > 1}
+    assert any({1, 2} <= s for s in collide)
+    assert not any(3 in s and len(s) > 1 for s in collide)
+
+
+def test_simhash_pigeonhole_blocking_exact():
+    """Every pair at hamming<=3 shares at least one 15-bit chunk."""
+    rng = np.random.default_rng(5)
+    fps = rng.integers(0, 1 << 60, size=200, dtype=np.int64)
+    # plant near-dups: flip <=3 bits
+    for i in range(0, 40, 2):
+        flips = rng.choice(60, size=rng.integers(1, 4), replace=False)
+        fps[i + 1] = fps[i]
+        for b in flips:
+            fps[i + 1] ^= np.int64(1) << np.int64(b)
+    t = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)), "simhash": pa.array(fps)})
+    chunks = dedup.simhash_chunks(t)
+    # group by (chunk, val) manually and collect verified pairs
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for r in chunks.to_pylist():
+        buckets[(r["chunk"], r["val"])].append(r)
+    found = set()
+    for rows in buckets.values():
+        g = pa.Table.from_pylist(rows)
+        p = dedup.hamming_pairs_from_bucket(g, max_hamming=3)
+        for r in p.to_pylist():
+            found.add((r["doc_a"], r["doc_b"]))
+    # brute-force truth
+    want = set()
+    for i in range(200):
+        for j in range(i + 1, 200):
+            if bin(int(fps[i]) ^ int(fps[j])).count("1") <= 3:
+                want.add((i, j))
+    assert found == want
+
+
+def test_ngram_shingles():
+    assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
+    assert word_ngrams("a b", 3) == set()
+    assert whitespace_tokens("  a\tb\nc ") == ["a", "b", "c"]
+
+
+def test_langid_priority_tiebreak():
+    assert predict_lang("xyzzy qwerty") == "en"  # all scores 0 -> priority
+    assert predict_lang("der die und der das") == "de"
+
+
+def test_ann_topk_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(50, 8))
+    ids = np.arange(50, dtype=np.int64)
+    emb = pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32()))
+    t = pa.table({"vec_id": pa.array(ids), "embedding": emb})
+
+    class FakeRef:
+        pass
+
+    # bypass ray.put: call the math directly
+    q = {"ids": ids[:3], "matrix": mat[:3]}
+    stage = ann.BruteForceTopK.__new__(ann.BruteForceTopK)
+    stage.qids = q["ids"]
+    stage.qmat = ann.normalize_rows(np.asarray(q["matrix"], dtype=np.float64))
+    stage.k = 5
+    cands = stage(t)
+    reduced = {}
+    for qid in range(3):
+        g = cands.filter(pa.compute.equal(cands.column("query_id"), qid))
+        top = ann.topk_reduce(g, k=5)
+        reduced[qid] = top.column("neighbor_id").to_pylist()
+    # numpy truth (float32 storage -> float64 math, like the stage)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    nm = ann.normalize_rows(m32)
+    sims = nm @ ann.normalize_rows(m32[:3]).T
+    for qid in range(3):
+        col = sims[:, qid].copy()
+        col[qid] = -np.inf
+        order = np.lexsort((ids, -col))[:5]
+        assert reduced[qid] == list(ids[order])
+
+
+def test_multimodal_stub_plumbing():
+    t = pa.table({"doc_id": [1, 2], "text": ["abcd" * 100, "x"]})
+    payload = to_payload(t)
+    assert payload.schema.field("payload").type == pa.binary()
+    out = DecoderStub()(payload)
+    assert out.column("n_bytes").to_pylist() == [400, 1]
+    assert out.column("n_frames").to_pylist() == [1, 0]
+    with pytest.raises(NotImplementedError):
+        DecoderStub(mode="real")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cdc_lww_latest", "agg_pricing_summary", "dedup_exact", "text_quality_score"],
+)
+def test_query_matches_oracle(ray_session, name):
+    """Fast regression: a representative slice of the registry vs its
+    DuckDB oracle at sf0.001 (the full sweep lives in
+    tools/check_queries.py)."""
+    import duckdb
+
+    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for tbl in ["events", "lineitem", "documents"]:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM parquet_scan('{SF}/{tbl}.parquet')"
+        )
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    assert len(got) == len(want)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    for c in g.columns:
+        assert (g[c].astype(str).values == w[c].astype(str).values).all(), c
