@@ -54,6 +54,10 @@ def lww_collapse(table: pa.Table) -> pa.Table:
     dropping them is a separate, later decision (snapshot/compaction)."""
     if table.num_rows == 0:
         return table
+    # sort/take on many-chunked wide tables (binary html) is
+    # pathologically slow (chunk-resolving per index); one contiguous
+    # copy first is ~8x faster end-to-end on shuffle output
+    table = table.combine_chunks()
     if "urlhash" in table.schema.names:
         sort_keys = [("urlhash", "ascending")] + _LWW_SORT
     else:
@@ -76,6 +80,7 @@ def keep_last_by(
     sort_keys = [(k, "ascending") for k in key_cols] + [
         (c, "descending") for c in order_cols
     ]
+    table = table.combine_chunks()
     table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
     n = table.num_rows
     change = None
