@@ -9,7 +9,7 @@ Env knobs:
   GRAFT_SF_DIR      testdata dir for the query timings (default sf0.1)
   RAY_GRAFT_CPUS    num_cpus for ray.init (default 32)
   GRAFT_BENCH_EVENTS / GRAFT_BENCH_BASE / GRAFT_BENCH_EPOCHS
-                    CDC fixture size (default 2M events / 200k pages / 5 epochs)
+                    CDC fixture size (default 4M events / 200k pages / 2 epochs)
   GRAFT_BENCH_QUERIES  comma list to restrict query timings ('' = skip)
 
 `--scaling` runs the headline job at 8 and 32 cpus in fresh
@@ -32,9 +32,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "4000000"))
 N_BASE = int(os.environ.get("GRAFT_BENCH_BASE", "200000"))
-N_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "5"))
+N_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "2"))
 
 # Queries timed at $GRAFT_SF_DIR; heavy O(candidate^2) demos excluded.
 DEFAULT_BENCH_QUERIES = [
@@ -116,6 +116,7 @@ def run_headline() -> dict:
         "sec_compact": round(t_compact, 3),
         "events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / t_apply, 1),
+        "_lake": lake,
     }
 
 
@@ -151,10 +152,25 @@ def _quiet_thp() -> None:
         pass
 
 
+def _release_memory() -> None:
+    """Best-effort: drop clean page cache.  The hypervisor overcommits
+    guest RAM — when the guest's resident footprint grows past ~15 GiB,
+    anonymous first-touch latency degrades ~10x (measured), poisoning
+    every subsequent run.  Keeping the cache footprint small keeps
+    timings honest."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+
+
 def main() -> None:
     import ray
 
     _quiet_thp()
+    _release_memory()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -174,6 +190,10 @@ def main() -> None:
     headline = run_headline()
     queries = run_queries()
     ray.shutdown()
+    # leave the box as found: bench lakes are throwaway state, and a
+    # large resident footprint degrades the (overcommitted) guest
+    shutil.rmtree(headline.pop("_lake", ""), ignore_errors=True)
+    _release_memory()
 
     print(
         json.dumps(

@@ -1,0 +1,186 @@
+"""CLI / `ray job submit` entrypoint — the analog of the reference's
+per-service binaries (`transactions-producer`, `*-consumer`,
+`status-service`, ...; `app/transactions-producer/main.go:36-201`),
+collapsed into one driver with subcommands:
+
+    python -m go_data_publisher_ray.cli generate  --out DIR [--events N ...]
+    python -m go_data_publisher_ray.cli bootstrap --base DIR --lake DIR --partitions P
+    python -m go_data_publisher_ray.cli apply     --events DIR --lake DIR [--salt S] [--epoch E] [--force]
+    python -m go_data_publisher_ray.cli tail      --events DIR --lake DIR [--poll 1.0] [--max-idle 3]
+    python -m go_data_publisher_ray.cli compact   --lake DIR [--min-deltas K]
+    python -m go_data_publisher_ray.cli snapshot  --lake DIR --out DIR [--columns a,b]
+    python -m go_data_publisher_ray.cli status    --lake DIR
+    python -m go_data_publisher_ray.cli verify    --lake DIR [--base DIR --events DIR]
+
+Owns the Ray session (init/shutdown) — the only layer that does, per
+the driver contract.  On a real cluster, submit with
+`ray job submit -- python -m go_data_publisher_ray.cli apply ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="go_data_publisher_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic synthetic CDC fixture")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=50_000)
+    g.add_argument("--base-rows", type=int, default=10_000)
+    g.add_argument("--epoch-size", type=int, default=5_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--evolve-epoch", type=int, default=None)
+    g.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+
+    b = sub.add_parser("bootstrap", help="load the base table into a new lake")
+    b.add_argument("--base", required=True)
+    b.add_argument("--lake", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+
+    a = sub.add_parser("apply", help="apply pending epochs (or one epoch)")
+    a.add_argument("--events", required=True)
+    a.add_argument("--lake", required=True)
+    a.add_argument("--salt", type=int, default=0)
+    a.add_argument("--epoch", type=int, default=None)
+    a.add_argument("--force", action="store_true")
+    a.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+
+    t = sub.add_parser("tail", help="poll for new epochs and apply them")
+    t.add_argument("--events", required=True)
+    t.add_argument("--lake", required=True)
+    t.add_argument("--poll", type=float, default=1.0)
+    t.add_argument("--max-idle", type=int, default=3)
+
+    c = sub.add_parser("compact", help="fold deltas into new base files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--min-deltas", type=int, default=1)
+
+    s = sub.add_parser("snapshot", help="export the merged state as parquet")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--columns", default=None)
+
+    st = sub.add_parser("status", help="print progress/lineage JSON")
+    st.add_argument("--lake", required=True)
+
+    v = sub.add_parser("verify", help="gap scan + lineage check (+ replay oracle)")
+    v.add_argument("--lake", required=True)
+    v.add_argument("--base", default=None)
+    v.add_argument("--events", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .sources.generator import LogSpec, write_log, write_log_ray
+
+        spec = LogSpec(
+            seed=args.seed,
+            n_base=args.base_rows,
+            n_events=args.events,
+            epoch_size=args.epoch_size,
+            evolve_epoch=args.evolve_epoch,
+        )
+        if args.events >= 1_000_000:
+            _init_ray(args.num_cpus)
+            out = write_log_ray(spec, args.out)
+        else:
+            out = write_log(spec, args.out)
+        if args.format == "jsonl":
+            from .sources.jsonl import parquet_events_to_jsonl
+
+            out["events_dir"] = parquet_events_to_jsonl(out["events_dir"])
+        print(json.dumps(out))
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "bootstrap":
+            from .pipelines.apply import bootstrap
+
+            print(json.dumps(bootstrap(args.base, args.lake, args.partitions)))
+        elif args.cmd == "apply":
+            events_dir = args.events
+            if args.format == "jsonl":
+                from .sources.jsonl import jsonl_events_to_parquet
+
+                events_dir = jsonl_events_to_parquet(events_dir)
+            from .pipelines.apply import apply_epoch, apply_log
+
+            if args.epoch is not None:
+                out = [
+                    apply_epoch(
+                        events_dir, args.lake, args.epoch, salt=args.salt, force=args.force
+                    )
+                ]
+            else:
+                out = apply_log(events_dir, args.lake, salt=args.salt)
+            print(json.dumps(out))
+        elif args.cmd == "tail":
+            from .pipelines.tail import tail
+
+            out = tail(
+                args.events,
+                args.lake,
+                poll_interval=args.poll,
+                max_idle_polls=args.max_idle,
+            )
+            print(json.dumps(out))
+        elif args.cmd == "compact":
+            from .pipelines.compact import compact
+
+            print(json.dumps(compact(args.lake, min_deltas=args.min_deltas)))
+        elif args.cmd == "snapshot":
+            from .pipelines.snapshot import export_snapshot
+
+            cols = args.columns.split(",") if args.columns else None
+            print(json.dumps(export_snapshot(args.lake, args.out, columns=cols)))
+        elif args.cmd == "status":
+            from .pipelines.tail import status
+
+            print(json.dumps(status(args.lake)))
+        elif args.cmd == "verify":
+            from .pipelines.verify import gap_scan, lineage_check
+
+            out = {"gaps": gap_scan(args.lake), "lineage": lineage_check(args.lake)}
+            if args.base and args.events:
+                from .pipelines.snapshot import snapshot_table
+                from .pipelines.verify import replay_oracle_table, tables_equal
+
+                ok, msg = tables_equal(
+                    snapshot_table(args.lake),
+                    replay_oracle_table(args.base, args.events),
+                )
+                out["replay_equivalent"] = ok
+                out["replay_detail"] = msg
+            print(json.dumps(out, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,6 +97,23 @@ def snapshot(
     return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
 
 
+def export_snapshot(
+    lake_dir: str, out_dir: str, *, columns: list[str] | None = None
+) -> dict:
+    """Write the merged current state as a parquet directory (streaming,
+    one file per partition-merge block) — the bulk-export sink a
+    downstream consumer of the lake would read."""
+    ds = snapshot(lake_dir, columns=columns, keep_lineage=True)
+    ds.write_parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    rows = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows for f in files
+    )
+    return {"out_dir": out_dir, "files": len(files), "rows": rows}
+
+
 def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:
     """Driver-side merged table, sorted by url (tests / small lakes)."""
     import pyarrow.compute as pc
