@@ -519,6 +519,95 @@ def sort_intervals(sf_dir: str):
     return cdc_interval_merge(sf_dir).sort(["epoch", "to_lsn"]).limit(1000)
 
 
+@query(
+    "window_tumbling_hourly",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(sf_dir: str):
+    """Tumbling event-time window: Ray Data has no native windows
+    (SURVEY §2.10 — the reference has only the single watermark), so a
+    tumbling window is a bucketed groupby: floor ts to the window size
+    in a vectorized map, aggregate per (key, bucket)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table(
+            {"user_id": t.column("user_id"), "hour": hour, "value": t.column("value")}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(*_agg(n_events="count", max_value=("max", "value")))
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "window_session",
+    f"""
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(sf_dir: str):
+    """Session windows (gap-based): per-key sorted scan inside
+    ``groupby(key).map_groups`` with a pandas body — the guide's
+    streaming-window pattern; state never leaves the group."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@query(
+    "sample_systematic",
+    "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0",
+)
+def sample_systematic(sf_dir: str):
+    """Deterministic systematic sampling (every 10th doc) — the
+    reproducible flavor of corpus subsampling (seeded random sampling is
+    `ds.random_sample(frac, seed=...)`, not oracle-comparable across
+    engines, so the checked variant is systematic)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ======================================================================
 # Training-data operators: text analysis over `documents`
 # ======================================================================
