@@ -40,6 +40,8 @@ def entry() -> Any:
         text_pad=24,
     )
     fixture = cached_fixture(spec)
+    # lake path keyed by fixture tag (includes generator version) so a
+    # code change never resumes onto a stale-format cached lake
     lake = os.path.join("/tmp/gdp_ray_lakes", "entry_" + spec.tag())
     bootstrap(os.path.join(fixture, "base"), lake, 8)
     apply_log(os.path.join(fixture, "events"), lake)

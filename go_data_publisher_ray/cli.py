@@ -89,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--lake", required=True)
     v.add_argument("--base", default=None)
     v.add_argument("--events", default=None)
+    v.add_argument(
+        "--distributed",
+        action="store_true",
+        help="per-partition replay audit as a Ray job (deadletters mismatches)",
+    )
 
     args = p.parse_args(argv)
 
@@ -167,15 +172,22 @@ def main(argv: list[str] | None = None) -> int:
 
             out = {"gaps": gap_scan(args.lake), "lineage": lineage_check(args.lake)}
             if args.base and args.events:
-                from .pipelines.snapshot import snapshot_table
-                from .pipelines.verify import replay_oracle_table, tables_equal
+                if args.distributed:
+                    from .pipelines.verify import verify_partitions
 
-                ok, msg = tables_equal(
-                    snapshot_table(args.lake),
-                    replay_oracle_table(args.base, args.events),
-                )
-                out["replay_equivalent"] = ok
-                out["replay_detail"] = msg
+                    out["replay_audit"] = verify_partitions(
+                        args.lake, args.base, args.events
+                    )
+                else:
+                    from .pipelines.snapshot import snapshot_table
+                    from .pipelines.verify import replay_oracle_table, tables_equal
+
+                    ok, msg = tables_equal(
+                        snapshot_table(args.lake),
+                        replay_oracle_table(args.base, args.events),
+                    )
+                    out["replay_equivalent"] = ok
+                    out["replay_detail"] = msg
             print(json.dumps(out, default=str))
     finally:
         ray.shutdown()
