@@ -215,10 +215,17 @@ def apply_log(
     salt: int = 0,
     stop_after: int | None = None,
     batch_size: int = 65536,
+    compact_every: int | None = None,
+    compact_min_deltas: int = 2,
 ) -> list[dict]:
     """Serial epoch loop with resume: committed epochs are skipped (the
     watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
-    realized structurally instead of via a stored tick)."""
+    realized structurally instead of via a stored tick).
+
+    ``compact_every=K`` folds deltas into new bases after every K
+    applied epochs — the LSM maintenance policy bounding per-partition
+    read amplification (live files per partition stays <= K+1).
+    """
     man = Manifest(lake_dir)
     done = set(man.committed_epochs())
     results = []
@@ -231,6 +238,12 @@ def apply_log(
             apply_epoch(events_dir, lake_dir, epoch, salt=salt, batch_size=batch_size)
         )
         applied += 1
+        if compact_every and applied % compact_every == 0:
+            from .compact import compact
+
+            results.append(
+                {"compaction": compact(lake_dir, min_deltas=compact_min_deltas)}
+            )
         if stop_after is not None and applied >= stop_after:
             break
     return results

@@ -503,6 +503,80 @@ def anti_join_clicks_no_purchase(sf_dir: str):
 
 
 @query(
+    "supplier_activity",
+    """
+    SELECT s.s_nationkey, count(*) AS n_lineitems,
+           count(DISTINCT l.l_suppkey) AS n_active_suppliers
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def supplier_activity(sf_dir: str):
+    """Fact-to-dimension rollup via broadcast (supplier is small):
+    lineitems and active suppliers per nation."""
+    import pyarrow.parquet as pq
+    import ray
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    lookup_ref = ray.put(
+        dict(
+            zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_nationkey").to_pylist(),
+            )
+        )
+    )
+
+    class MapNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            nk = np.array([self.lookup[k] for k in keys], dtype=np.int32)
+            return pa.table(
+                {"s_nationkey": pa.array(nk), "l_suppkey": t.column("l_suppkey")}
+            )
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    mapped = ds.map_batches(MapNation, batch_format="pyarrow", concurrency=2)
+    per_supp = mapped.groupby(["s_nationkey", "l_suppkey"]).aggregate(*_agg(n="count"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("s_nationkey").aggregate([("n", "sum"), ("l_suppkey", "count")])
+        return g.rename_columns(["s_nationkey", "p_lineitems", "p_suppliers"])
+
+    return (
+        per_supp.map_batches(finish, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(
+            *_agg(
+                n_lineitems=("sum", "p_lineitems"),
+                n_active_suppliers=("sum", "p_suppliers"),
+            )
+        )
+    )
+
+
+@query(
+    "parts_size_profile",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY 1
+    """,
+)
+def parts_size_profile(sf_dir: str):
+    """Dimension-table profiling aggregate over `part`."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+    return ds.groupby("p_brand").aggregate(
+        *_agg(n_parts="count", min_size=("min", "p_size"), max_size=("max", "p_size"))
+    )
+
+
+@query(
     "sort_intervals",
     """
     SELECT * FROM (

@@ -51,6 +51,24 @@ def test_compaction_preserves_state(ray_session, small_log, lake_dir):
     assert ok, msg
 
 
+def test_auto_compaction_policy(ray_session, small_log, lake_dir):
+    """apply_log(compact_every=K) bounds live files per partition and
+    preserves replay equivalence."""
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    results = apply_log(events, lake_dir, compact_every=3)
+    assert sum(1 for r in results if "compaction" in r) == 3  # after epochs 3,6,9
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    for p in range(P):
+        _b, deltas = state.live_files(p)
+        assert len(deltas) <= 3
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
 def test_tombstones_gone_after_compaction(ray_session, small_log, lake_dir):
     base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
     bootstrap(base, lake_dir, P)
