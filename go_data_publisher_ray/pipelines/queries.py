@@ -1155,6 +1155,28 @@ def embedding_cosine_dedup(sf_dir: str):
     )
 
 
+def _lsh_sql() -> str:
+    terms = []
+    for i, hp in enumerate(ann_stage.HYPERPLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in hp) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0 END"
+        )
+    return (
+        "SELECT vec_id, (" + " + ".join(terms) + ") AS lsh_code FROM embeddings"
+    )
+
+
+@query("ann_lsh_codes", _lsh_sql())
+def ann_lsh_codes(sf_dir: str):
+    """Random-hyperplane LSH signatures over the embedding column — the
+    bucketing key for cosine near-dup at scale (vectors sharing a code
+    land in one groupby bucket; no all-pairs scan)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(ann_stage.lsh_codes, batch_format="pyarrow")
+
+
 # ======================================================================
 # Multimodal plumbing (stubbed decode, real dataflow)
 # ======================================================================

@@ -93,6 +93,29 @@ def topk_reduce(group: pa.Table, *, k: int) -> pa.Table:
     )
 
 
+# Random-hyperplane LSH: 16 fixed seeded hyperplanes (values rounded so
+# a SQL oracle can embed them as exact literals).  Vectors sharing the
+# full 16-bit sign code are near-dup candidates — the embedding analog
+# of SimHash banding; buckets via groupby, never all-pairs.
+_hp_rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+LSH_DIM = 64
+N_HYPERPLANES = 16
+HYPERPLANES: np.ndarray = np.round(
+    _hp_rng.normal(size=(N_HYPERPLANES, LSH_DIM)), 6
+)
+
+
+def lsh_codes(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: (vec_id, embedding) -> (vec_id, lsh_code) with
+    code bit i = 1 iff <embedding, hyperplane_i> > 0 (double math)."""
+    vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = fixed_len_matrix(batch.column("embedding"))
+    proj = mat @ HYPERPLANES.T  # (n, 16)
+    bits = (proj > 0).astype(np.int64)
+    codes = (bits << np.arange(N_HYPERPLANES, dtype=np.int64)[None, :]).sum(axis=1)
+    return pa.table({"vec_id": pa.array(vids, pa.int64()), "lsh_code": pa.array(codes)})
+
+
 class CellAssigner:
     """Actor-pool stage: assign each vector to its nearest (max-cosine)
     centroid; centroids broadcast once per actor."""
