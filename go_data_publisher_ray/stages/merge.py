@@ -119,12 +119,30 @@ class AddPartitionAndCombine:
       (url, batch) — the partial-aggregation pattern.
     """
 
-    def __init__(self, num_partitions: int, salt: int = 0, combine: bool = True):
+    def __init__(
+        self,
+        num_partitions: int,
+        salt: int = 0,
+        combine: bool = True,
+        validate: bool = True,
+    ):
         self.num_partitions = num_partitions
         self.salt = salt
         self.combine = combine
+        self.validate = validate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.validate:
+            # M3 analog (`tick-data-consumer/kafka/client.go:72-79`):
+            # reject records that cannot be keyed/ordered instead of
+            # poisoning the partition merge
+            mask = pc.and_(
+                pc.is_valid(batch.column("url")), pc.is_valid(batch.column("lsn"))
+            )
+            if "warc_ts" in batch.schema.names:
+                mask = pc.and_(mask, pc.is_valid(batch.column("warc_ts")))
+            if not pc.all(mask).as_py():
+                batch = batch.filter(mask)
         urlhash, part = hash_and_partition(batch.column("url"), self.num_partitions)
         batch = batch.append_column("urlhash", pa.array(urlhash))
         batch = batch.append_column("part", pa.array(part, type=pa.int32()))
