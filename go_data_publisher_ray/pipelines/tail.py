@@ -62,7 +62,27 @@ def status(lake_dir: str) -> dict:
         else:
             intervals.append([e, e])
     parts = {p: man.read_checkpoint(p) for p in range(man.num_partitions)}
+    # per-epoch throughput history from the manifest metrics — the
+    # Prometheus-gauge analog (`transactions-producer/domain/metrics.go:19-50`)
+    from ..state.manifest import read_json
+    import os as _os
+
+    recent = []
+    for e in sorted(epochs)[-10:]:
+        rec = read_json(
+            _os.path.join(man.manifest_dir, f"epoch_{e:06d}.json")
+        )
+        m = rec.get("metrics", {})
+        recent.append(
+            {
+                "epoch": e,
+                "events": m.get("events"),
+                "sec": m.get("sec"),
+                "events_per_sec": m.get("events_per_sec"),
+            }
+        )
     return {
+        "recent_epochs": recent,
         "last_committed_epoch": max(epochs, default=-1),
         "committed_at_lsn": max(
             (parts[p]["last_lsn"] for p in parts), default=0
