@@ -467,7 +467,11 @@ def anti_join_clicks_no_purchase(sf_dir: str):
     """Anti-join via a broadcast key set (set-difference analog,
     `status-service/util/set.go:21-37`): (user, day) pairs that clicked
     but never purchased that day.  The purchase side is the small set —
-    shipped once via ray.put and probed per batch with np.isin."""
+    shipped once via ray.put and probed per batch with np.isin.
+
+    Scale note: when the filter side outgrows the driver (~10^8 keys),
+    ship a Bloom filter of it instead, or hash-partition both sides on
+    the key and anti-join per bucket in map_groups."""
     import ray
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
@@ -891,7 +895,13 @@ _NGRAM_SQL = """
 def dedup_ngram_jaccard(sf_dir: str):
     """Near-dup candidates by word-3-gram Jaccard >= 0.3, via a shingle
     inverted index (explode -> groupby shingle -> pairs -> combine) —
-    no all-pairs scan."""
+    no all-pairs scan.
+
+    Scale note: the per-doc set-size side table is broadcast here
+    (one int per doc); beyond ~10^8 docs it should instead join onto the
+    pair stream via the same bucketed groupby, and candidate generation
+    should switch to dedup_minhash_lsh (bounded bands, no stop-shingle
+    quadratic postings)."""
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
