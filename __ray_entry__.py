@@ -26,20 +26,11 @@ def entry() -> Any:
     import os
 
     from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+    from go_data_publisher_ray.pipelines.queries import _flagship_spec, flagship_fixture_dir
     from go_data_publisher_ray.pipelines.snapshot import snapshot
-    from go_data_publisher_ray.sources.generator import LogSpec, cached_fixture
 
-    spec = LogSpec(
-        n_base=2_000,
-        n_sites=40,
-        n_events=8_000,
-        epoch_size=2_000,
-        chunk_size=4_000,
-        html_min=16,
-        html_max=64,
-        text_pad=24,
-    )
-    fixture = cached_fixture(spec)
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
     # lake path keyed by fixture tag (includes generator version) so a
     # code change never resumes onto a stale-format cached lake
     lake = os.path.join("/tmp/gdp_ray_lakes", "entry_" + spec.tag())
@@ -55,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL
+    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL, flagship_fixture_dir
 
+    # the flagship oracle reads the fixture's on-disk parquet directly;
+    # make sure it exists even if the SQL runs before the Ray query
+    flagship_fixture_dir()
     return dict(ORACLE_SQL)

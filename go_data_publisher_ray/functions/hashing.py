@@ -65,6 +65,16 @@ def md5_hex_array(values) -> np.ndarray:
     return out
 
 
+def md5_hex_bytes_array(values) -> np.ndarray:
+    """md5 of a binary column's lowercase-hex form — the DuckDB twin is
+    ``md5(lower(hex(blob)))`` (DuckDB's md5 does not accept BLOB)."""
+    arr = _as_object_array(values)
+    out = np.empty(len(arr), dtype=object)
+    for i, b in enumerate(arr):
+        out[i] = hashlib.md5(bytes(b).hex().encode("ascii")).hexdigest()
+    return out
+
+
 def md5_int64(s: str) -> int:
     """First 15 hex digits of md5 as a non-negative int (fits int64).
 

@@ -43,17 +43,24 @@ def _ray_data():
     return rd
 
 
-def _stats_to_entries(rows: list[dict]) -> list[FileEntry]:
-    return [
-        FileEntry(
-            path=r["path"],
-            partition=int(r["partition"]),
-            rows=int(r["rows"]),
-            bytes=int(r["bytes"]),
-            max_lsn=int(r["max_lsn"]),
+def _stats_to_entries(rows: list[dict]) -> tuple[list[FileEntry], list[dict]]:
+    """Split writer stats rows into committed FileEntries and
+    deadlettered (error) rows."""
+    entries, errors = [], []
+    for r in rows:
+        if r.get("error"):
+            errors.append({"partition": int(r["partition"]), "error": r["error"]})
+            continue
+        entries.append(
+            FileEntry(
+                path=r["path"],
+                partition=int(r["partition"]),
+                rows=int(r["rows"]),
+                bytes=int(r["bytes"]),
+                max_lsn=int(r["max_lsn"]),
+            )
         )
-        for r in rows
-    ]
+    return entries, errors
 
 
 _TARGET_SHUFFLE_BLOCK = 32 << 20  # ~32 MiB of input per sort-map task
@@ -123,7 +130,7 @@ def bootstrap(
     stats = ds.groupby("part").map_groups(
         BaseWriter(lake_dir, tag="c000000"), batch_format="pyarrow"
     )
-    entries = _stats_to_entries(stats.take_all())
+    entries, _ = _stats_to_entries(stats.take_all())
     man.commit_compaction(-1, entries, _parquet_dir_schema(base_dir), cid=0)
     return {
         "skipped": False,
@@ -141,6 +148,8 @@ def apply_epoch(
     salt: int = 0,
     batch_size: int = 65536,
     force: bool = False,
+    patch_rules: tuple = (),
+    fault: dict | None = None,
 ) -> dict:
     """Apply one epoch of change events; idempotent (skip if committed).
 
@@ -149,37 +158,70 @@ def apply_epoch(
     `transactions-producer/domain/processor.go:76-96` PublishSingleTicks):
     if the epoch directory gained late event files, the delta and the
     manifest record are rebuilt; if nothing changed, the rewrite is
-    byte-identical (idempotent overwrite)."""
+    byte-identical (idempotent overwrite).
+
+    Force is refused once the epoch has been folded into a compacted
+    base for any partition: the rebuilt delta would be invisible to
+    ``LakeState.live_files`` (it only serves deltas newer than the
+    base), so the late rows would be silently lost.  Late data for a
+    compacted epoch must be re-submitted as a NEW epoch instead."""
     rd = _ray_data()
     man = Manifest(lake_dir)
     if man.has_epoch(epoch) and not force:
         return {"epoch": epoch, "skipped": True}
+    if force:
+        state = man.load_state()
+        folded = [
+            p
+            for p in range(man.num_partitions)
+            if state.base_upto_epoch.get(p, -1) >= epoch
+        ]
+        if folded:
+            raise ValueError(
+                f"cannot force-reapply epoch {epoch}: already folded into the "
+                f"compacted base of partition(s) {folded[:8]} "
+                f"(base_upto_epoch >= {epoch}); re-submit late data as a new "
+                f"epoch (see pipelines/apply.py docstring)"
+            )
     t0 = time.perf_counter()
     edir = os.path.join(events_dir, f"epoch={epoch}")
     if not os.path.isdir(edir) or not any(
         f.endswith(".parquet") for f in os.listdir(edir)
     ):
         # empty epoch: commit an empty fence so resume logic stays simple
-        man.commit_epoch(epoch, [], man.load_state().schema, metrics={"events": 0})
+        # (src_files/src_bytes recorded so tail() can detect late growth)
+        man.commit_epoch(
+            epoch,
+            [],
+            man.load_state().schema,
+            metrics={"events": 0, "src_files": 0, "src_bytes": 0},
+        )
         return {"epoch": epoch, "skipped": False, "events": 0, "sec": 0.0}
 
+    src_files = sorted(f for f in os.listdir(edir) if f.endswith(".parquet"))
     n_events = sum(
-        pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows
-        for f in os.listdir(edir)
-        if f.endswith(".parquet")
+        pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows for f in src_files
     )
+    src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
     ds = rd.read_parquet(edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir)))
     ds = ds.map_batches(
-        AddPartitionAndCombine(man.num_partitions, salt=salt),
+        AddPartitionAndCombine(man.num_partitions, salt=salt, patch_rules=patch_rules),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     if salt > 1:
         ds = ds.groupby(["part", "salt"]).map_groups(collapse_group, batch_format="pyarrow")
+    fault = fault or {}
     stats = ds.groupby("part").map_groups(
-        DeltaWriter(lake_dir, epoch), batch_format="pyarrow"
+        DeltaWriter(
+            lake_dir,
+            epoch,
+            crash_marker=fault.get("crash_marker"),
+            poison_parts=tuple(fault.get("poison_parts", ())),
+        ),
+        batch_format="pyarrow",
     )
-    entries = _stats_to_entries(stats.take_all())
+    entries, errors = _stats_to_entries(stats.take_all())
 
     epoch_schema = _parquet_dir_schema(edir)
     if "epoch" in epoch_schema.names:
@@ -191,13 +233,26 @@ def apply_epoch(
         epoch_schema,
         metrics={
             "events": n_events,
+            # source-directory size at apply time — tail() compares these
+            # to detect epochs that grew after commit (late files)
+            "src_files": len(src_files),
+            "src_bytes": src_bytes,
             "sec": round(sec, 4),
             "events_per_sec": round(n_events / sec, 1) if sec > 0 else None,
             "delta_rows": sum(e.rows for e in entries),
             "delta_bytes": sum(e.bytes for e in entries),
+            # skip-and-record: poisoned partitions excluded from this
+            # commit, recorded here and under deadletter/
+            "deadletter_parts": sorted(e["partition"] for e in errors),
         },
     )
-    return {"epoch": epoch, "skipped": False, "events": n_events, "sec": sec}
+    return {
+        "epoch": epoch,
+        "skipped": False,
+        "events": n_events,
+        "sec": sec,
+        "deadletter_parts": sorted(e["partition"] for e in errors),
+    }
 
 
 def discover_epochs(events_dir: str) -> list[int]:
@@ -217,6 +272,7 @@ def apply_log(
     batch_size: int = 65536,
     compact_every: int | None = None,
     compact_min_deltas: int = 2,
+    patch_rules: tuple = (),
 ) -> list[dict]:
     """Serial epoch loop with resume: committed epochs are skipped (the
     watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
@@ -235,7 +291,14 @@ def apply_log(
             results.append({"epoch": epoch, "skipped": True})
             continue
         results.append(
-            apply_epoch(events_dir, lake_dir, epoch, salt=salt, batch_size=batch_size)
+            apply_epoch(
+                events_dir,
+                lake_dir,
+                epoch,
+                salt=salt,
+                batch_size=batch_size,
+                patch_rules=patch_rules,
+            )
         )
         applied += 1
         if compact_every and applied % compact_every == 0:

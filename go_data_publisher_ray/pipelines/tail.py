@@ -14,11 +14,32 @@ status-service RPC surface (`status-service/rpc/status_service.go:68-231`):
 
 from __future__ import annotations
 
+import os
 import time
 
 from ..state.manifest import Manifest
-from .apply import apply_log, discover_epochs
+from .apply import apply_epoch, apply_log, discover_epochs
 from .verify import gap_scan
+
+
+def _grown_epochs(man: Manifest, events_dir: str, done: set[int]) -> list[int]:
+    """Committed epochs whose source directory gained files/bytes since
+    commit (late data appended to an already-applied epoch).  Compares
+    the directory's current parquet count+bytes to the ``src_files`` /
+    ``src_bytes`` recorded in the epoch's manifest metrics."""
+    grown = []
+    for e in sorted(done):
+        edir = os.path.join(events_dir, f"epoch={e}")
+        if not os.path.isdir(edir):
+            continue
+        files = [f for f in os.listdir(edir) if f.endswith(".parquet")]
+        m = man.epoch_record(e).get("metrics", {})
+        if "src_files" not in m:
+            continue  # pre-metrics commit; nothing to compare against
+        cur_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in files)
+        if len(files) > m["src_files"] or cur_bytes > m["src_bytes"]:
+            grown.append(e)
+    return grown
 
 
 def tail(
@@ -29,18 +50,34 @@ def tail(
     max_idle_polls: int | None = 3,
     salt: int = 0,
 ) -> list[dict]:
-    """Apply new epochs as they appear; at-least-once + idempotent
-    commits = effectively-once, exactly like the consumer loop
-    (`transactions-consumer/consume/transaction_consumer.go:72-91`)."""
+    """Apply new epochs as they appear, and force-reapply committed
+    epochs whose directories grew (late files); at-least-once +
+    idempotent commits = effectively-once, exactly like the consumer
+    loop (`transactions-consumer/consume/transaction_consumer.go:72-91`).
+
+    A grown epoch that was already folded into a compacted base cannot
+    be force-reapplied (the delta would be invisible — see
+    ``apply_epoch``); the refusal is recorded in the results instead of
+    crashing the tail loop, so the operator can re-submit the late rows
+    as a new epoch."""
     results: list[dict] = []
     idle = 0
     while True:
         man = Manifest(lake_dir)
         done = set(man.committed_epochs())
         pending = [e for e in discover_epochs(events_dir) if e not in done]
-        if pending:
+        grown = _grown_epochs(man, events_dir, done)
+        if pending or grown:
             idle = 0
-            results.extend(apply_log(events_dir, lake_dir, salt=salt))
+            for e in grown:
+                try:
+                    r = apply_epoch(events_dir, lake_dir, e, salt=salt, force=True)
+                    r["regrown"] = True
+                    results.append(r)
+                except ValueError as exc:
+                    results.append({"epoch": e, "regrown": True, "refused": str(exc)})
+            if pending:
+                results.extend(apply_log(events_dir, lake_dir, salt=salt))
         else:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:

@@ -136,8 +136,25 @@ def gap_scan(lake_dir: str) -> dict:
     }
 
 
+def _parquet_max_lsn(md) -> int:
+    """max(lsn) from parquet row-group column statistics — on-disk
+    truth, independent of what the manifest claims."""
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("lsn")
+    if idx is None:
+        return 0
+    best = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            best = max(best, int(st.max))
+    return best
+
+
 def lineage_check(lake_dir: str) -> dict:
-    """Per-partition checkpoint vs on-disk truth (A1/A2 analog)."""
+    """Per-partition checkpoint vs on-disk truth (A1/A2 analog): row
+    counts, bytes, and max(lsn) are all read from the parquet files
+    themselves (row-group statistics), so a manifest/file disagreement
+    is detectable."""
     man = Manifest(lake_dir)
     state = man.load_state()
     mismatches = []
@@ -153,7 +170,7 @@ def lineage_check(lake_dir: str) -> dict:
             md = pq.ParquetFile(p).metadata
             actual_rows += md.num_rows
             actual_bytes += os.path.getsize(p)
-            actual_lsn = max(actual_lsn, fe.max_lsn)
+            actual_lsn = max(actual_lsn, _parquet_max_lsn(md))
         if (
             ck["row_count"] != actual_rows
             or ck["bytes"] != actual_bytes

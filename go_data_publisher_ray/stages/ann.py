@@ -62,7 +62,11 @@ class BruteForceTopK:
         k = min(self.k + 1, len(vids))  # +1 to survive self-match removal
         for j, qid in enumerate(self.qids):
             col = sims[:, j]
-            idx = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            # deterministic pruning: ties at the k-boundary are broken
+            # by vec_id asc, matching the oracle's ORDER BY (sim DESC,
+            # vec_id ASC) — an argpartition cut could drop the
+            # smaller-id member of an exact tie before the reduce
+            idx = np.lexsort((vids, -col))[:k]
             for i in idx:
                 if vids[i] != qid:
                     out_q.append(int(qid))

@@ -125,13 +125,21 @@ class AddPartitionAndCombine:
         salt: int = 0,
         combine: bool = True,
         validate: bool = True,
+        patch_rules: tuple = (),
     ):
         self.num_partitions = num_partitions
         self.salt = salt
         self.combine = combine
         self.validate = validate
+        self.patch_rules = patch_rules
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.patch_rules:
+            # M6 analog: conditional rewrite of known-bad ranges BEFORE
+            # the merge (`status-service/sync/tick_processor.go:210-214`)
+            from .patch import apply_patch_rules
+
+            batch = apply_patch_rules(batch, self.patch_rules)
         if self.validate:
             # M3 analog (`tick-data-consumer/kafka/client.go:72-79`):
             # reject records that cannot be keyed/ordered instead of
@@ -183,33 +191,90 @@ class DeltaWriter:
     row — the data itself never flows back to the driver.  This is the
     LSM memtable flush of the north_star; the ES bulk-upsert analog
     (K3, ``transactions-consumer/extern/elastic_client.go:30-81``).
+
+    Error policy (T2 analog, skip-and-record +
+    `status-service/sync/tick_processor.go:238-249`, `361-369`):
+    data-shaped errors (ArrowInvalid/ValueError/KeyError) in one
+    partition's merge are recorded to ``deadletter/`` from the worker
+    and reported via the stats row's ``error`` column — the epoch
+    commit proceeds for healthy partitions and the poisoned one can be
+    re-driven with ``force=True`` once fixed.  System errors (OSError,
+    worker death) are NOT swallowed: Ray retries the task and the
+    idempotent rewrite makes the retry safe.
+
+    Test fault hooks: ``crash_marker`` makes the first task to reach it
+    die with os._exit (real worker death, exercised by
+    tests/test_failure_injection.py); ``poison_parts`` raises a data
+    error for the listed partitions.
     """
 
-    def __init__(self, lake_dir: str, epoch: int, drop_columns: tuple[str, ...] = ("epoch",)):
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        drop_columns: tuple[str, ...] = ("epoch",),
+        crash_marker: str | None = None,
+        poison_parts: tuple[int, ...] = (),
+        deadletter: bool = True,
+    ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.drop = drop_columns
+        self.crash_marker = crash_marker
+        self.poison_parts = tuple(poison_parts)
+        self.deadletter = deadletter
         self.__name__ = f"DeltaWriter_e{epoch}"  # ray map_groups wants a __name__
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = group.column("part")[0].as_py()
-        out = lww_collapse(group)
-        drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
-        out = out.drop_columns(drop)
-        rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
-        abspath = os.path.join(self.lake_dir, rel)
-        os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        size = atomic_write_parquet(out, abspath)
-        max_lsn = pc.max(out.column("lsn")).as_py() or 0
+    def _stats(self, part: int, rel: str, rows: int, size: int, max_lsn: int, error: str) -> pa.Table:
         return pa.table(
             {
                 "path": [rel],
                 "partition": pa.array([part], type=pa.int32()),
-                "rows": [out.num_rows],
+                "rows": [rows],
                 "bytes": [size],
                 "max_lsn": [max_lsn],
+                "error": [error],
             }
         )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        if self.crash_marker is not None:
+            try:
+                fd = os.open(self.crash_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)  # first task here dies mid-epoch; retry sees the marker
+            except FileExistsError:
+                pass
+        try:
+            if part in self.poison_parts:
+                raise ValueError(f"injected poison partition {part}")
+            out = lww_collapse(group)
+            drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
+            out = out.drop_columns(drop)
+            rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
+            abspath = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            size = atomic_write_parquet(out, abspath)
+            max_lsn = pc.max(out.column("lsn")).as_py() or 0
+        except (pa.ArrowInvalid, ValueError, KeyError) as exc:
+            if not self.deadletter:
+                raise
+            import json as _json
+            import uuid as _uuid
+
+            dl_dir = os.path.join(self.lake_dir, "deadletter")
+            os.makedirs(dl_dir, exist_ok=True)
+            dl_path = os.path.join(
+                dl_dir, f"epoch_{self.epoch:06d}_part_{part:05d}.json"
+            )
+            rec = {"epoch": self.epoch, "partition": part, "error": str(exc)}
+            tmp = f"{dl_path}.tmp-{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                _json.dump(rec, f)
+            os.replace(tmp, dl_path)
+            return self._stats(part, "", 0, 0, 0, str(exc))
+        return self._stats(part, rel, out.num_rows, size, max_lsn, "")
 
 
 class BaseWriter:

@@ -146,6 +146,9 @@ class Manifest:
     def has_epoch(self, epoch: int) -> bool:
         return os.path.exists(self._epoch_path(epoch))
 
+    def epoch_record(self, epoch: int) -> dict:
+        return read_json(self._epoch_path(epoch))
+
     def commit_epoch(
         self,
         epoch: int,

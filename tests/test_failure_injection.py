@@ -1,0 +1,71 @@
+"""T2 error-policy tests: mid-epoch worker death (crash-retry) and
+poison-partition skip-and-record (deadletter) — the analog of the
+reference's consecutive-error worker shrink and skip-and-record
+(`status-service/sync/tick_processor.go:361-369`, `238-249`)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from go_data_publisher_ray.pipelines.apply import apply_epoch, apply_log, bootstrap
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.pipelines.verify import replay_oracle_table, tables_equal
+
+P = 8
+
+
+def test_crash_mid_epoch_task_retried_idempotent(ray_session, small_log, lake_dir, tmp_path):
+    """A DeltaWriter task dies (os._exit) mid-epoch; Ray retries the
+    task, the idempotent rewrite produces identical bytes, and the final
+    commit matches the replay oracle."""
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(events, lake_dir, stop_after=2)
+
+    marker = str(tmp_path / "crash_once")
+    r = apply_epoch(events, lake_dir, 2, fault={"crash_marker": marker})
+    assert not r["skipped"]
+    assert os.path.exists(marker), "fault never fired"
+
+    apply_log(events, lake_dir)  # remaining epochs, no faults
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(os.path.join(small_log, "base"), events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
+def test_poison_partition_deadlettered_then_healed(ray_session, small_log, lake_dir):
+    """A partition whose merge raises a data error is skipped and
+    recorded to deadletter/ (the commit proceeds for healthy
+    partitions); a later force re-apply with the poison gone heals the
+    lake to the exact oracle state."""
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(events, lake_dir, stop_after=3)
+
+    r = apply_epoch(events, lake_dir, 3, fault={"poison_parts": [2]})
+    assert not r["skipped"]
+    assert r["deadletter_parts"] == [2]
+    dl = os.path.join(lake_dir, "deadletter", "epoch_000003_part_00002.json")
+    assert os.path.exists(dl)
+    rec = json.load(open(dl))
+    assert rec["partition"] == 2 and "poison" in rec["error"]
+
+    # healthy partitions committed; the poisoned one is absent
+    from go_data_publisher_ray.state.manifest import Manifest
+
+    man = Manifest(lake_dir)
+    erec = man.epoch_record(3)
+    assert 2 not in {f["partition"] for f in erec["files"]}
+    assert erec["metrics"]["deadletter_parts"] == [2]
+
+    # heal: re-drive the epoch without the poison
+    r2 = apply_epoch(events, lake_dir, 3, force=True)
+    assert not r2["skipped"] and r2.get("deadletter_parts", []) == []
+
+    apply_log(events, lake_dir)
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(os.path.join(small_log, "base"), events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg

@@ -78,6 +78,59 @@ def test_late_data_force_reapply(ray_session, small_log, lake_dir, tmp_path):
     assert not partial.equals(got)
 
 
+def test_tail_detects_grown_epoch(ray_session, small_log, lake_dir, tmp_path):
+    """An already-committed epoch whose directory gains a late file is
+    force-reapplied by the tail loop (the '(or grown)' promise)."""
+    staged = str(tmp_path / "events")
+    shutil.copytree(os.path.join(small_log, "events"), staged)
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+
+    edir = os.path.join(staged, "epoch=4")
+    files = sorted(f for f in os.listdir(edir) if f.endswith(".parquet"))
+    held = str(tmp_path / "held.parquet")
+    shutil.move(os.path.join(edir, files[0]), held)
+
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=2)
+    partial = snapshot_table(lake_dir)
+
+    # the late file lands in the already-committed epoch dir
+    shutil.move(held, os.path.join(edir, files[0]))
+    r2 = tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=2)
+    regrown = [r for r in r2 if r.get("regrown")]
+    assert len(regrown) == 1 and regrown[0]["epoch"] == 4
+    assert "refused" not in regrown[0]
+
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(os.path.join(small_log, "base"), staged)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    assert not partial.equals(got)
+
+
+def test_force_reapply_refused_after_compaction(ray_session, small_log, lake_dir):
+    """Once an epoch is folded into a compacted base, force-reapply must
+    fail loudly instead of silently losing the late rows (ADVICE r1
+    high: the rebuilt delta would be invisible to live_files)."""
+    import pytest
+
+    from go_data_publisher_ray.pipelines.compact import compact
+
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(events, lake_dir, stop_after=5)
+    compact(lake_dir)
+
+    with pytest.raises(ValueError, match="folded into the compacted base"):
+        apply_epoch(events, lake_dir, 2, force=True)
+
+    # tail records the refusal instead of crashing when the grown epoch
+    # is already compacted
+    rec = __import__(
+        "go_data_publisher_ray.state.manifest", fromlist=["Manifest"]
+    ).Manifest(lake_dir).epoch_record(2)
+    assert rec["metrics"]["src_files"] >= 1
+
+
 def test_status_shape(ray_session, small_log, lake_dir):
     bootstrap(os.path.join(small_log, "base"), lake_dir, P)
     apply_log(os.path.join(small_log, "events"), lake_dir, stop_after=2)

@@ -76,6 +76,26 @@ def test_simhash_pigeonhole_blocking_exact():
     assert found == want
 
 
+def test_popcount64_matches_bin():
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << 60, size=1000, dtype=np.int64)
+    got = dedup.popcount64(xs)
+    want = np.array([bin(int(v)).count("1") for v in xs], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_oversized_posting_emits_marker():
+    """A degenerate stop-shingle posting past the cap yields a visible
+    marker row (doc_a=-1, doc_b=posting size), not a silent drop."""
+    n = 50
+    g = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = dedup.pairs_from_posting(g, max_posting=10)
+    assert out.to_pylist() == [{"doc_a": -1, "doc_b": n}]
+    ok = dedup.pairs_from_posting(g, max_posting=100)
+    assert ok.num_rows == n * (n - 1) // 2
+    assert (np.asarray(ok.column("doc_a")) >= 0).all()
+
+
 def test_ngram_shingles():
     assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
     assert word_ngrams("a b", 3) == set()
