@@ -111,11 +111,15 @@ def bootstrap(
     num_partitions: int,
     *,
     batch_size: int = 65536,
+    merge_spec=None,
 ) -> dict:
     """Load the initial base table (F1) into the partitioned lake as
-    compaction record 0 (``upto_epoch=-1``)."""
+    compaction record 0 (``upto_epoch=-1``).  ``merge_spec`` fixes the
+    entity's merge semantics at creation (default: pages LWW); it is
+    persisted in lake.json and every later stage reads it from there."""
     rd = _ray_data()
-    man = Manifest(lake_dir, num_partitions)
+    man = Manifest(lake_dir, num_partitions, merge_spec=merge_spec)
+    spec = man.merge_spec
     if man.load_state().base:
         return {"skipped": True}
     t0 = time.perf_counter()
@@ -123,12 +127,12 @@ def bootstrap(
         base_dir, override_num_blocks=_read_blocks_for(_dir_bytes(base_dir))
     )
     ds = ds.map_batches(
-        AddPartitionAndCombine(num_partitions, combine=False),
+        AddPartitionAndCombine(num_partitions, combine=False, spec=spec),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     stats = ds.groupby("part").map_groups(
-        BaseWriter(lake_dir, tag="c000000"), batch_format="pyarrow"
+        BaseWriter(lake_dir, tag="c000000", spec=spec), batch_format="pyarrow"
     )
     entries, _ = _stats_to_entries(stats.take_all())
     man.commit_compaction(-1, entries, _parquet_dir_schema(base_dir), cid=0)
@@ -203,14 +207,20 @@ def apply_epoch(
         pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows for f in src_files
     )
     src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
+    spec = man.merge_spec
     ds = rd.read_parquet(edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir)))
     ds = ds.map_batches(
-        AddPartitionAndCombine(man.num_partitions, salt=salt, patch_rules=patch_rules),
+        AddPartitionAndCombine(
+            man.num_partitions, salt=salt, patch_rules=patch_rules, spec=spec
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     if salt > 1:
-        ds = ds.groupby(["part", "salt"]).map_groups(collapse_group, batch_format="pyarrow")
+        import functools
+
+        salted = functools.partial(collapse_group, spec=spec)
+        ds = ds.groupby(["part", "salt"]).map_groups(salted, batch_format="pyarrow")
     fault = fault or {}
     stats = ds.groupby("part").map_groups(
         DeltaWriter(
@@ -218,6 +228,7 @@ def apply_epoch(
             epoch,
             crash_marker=fault.get("crash_marker"),
             poison_parts=tuple(fault.get("poison_parts", ())),
+            spec=spec,
         ),
         batch_format="pyarrow",
     )

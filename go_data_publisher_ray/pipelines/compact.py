@@ -31,10 +31,15 @@ class Compactor:
     """Actor-pool stage: one partition descriptor row in -> one stats row
     out; the merged base is written from the worker, never shipped."""
 
-    def __init__(self, lake_dir: str, schema_json: str, tag: str):
+    def __init__(self, lake_dir: str, schema_json: str, tag: str, merge_spec_dict: dict | None = None):
+        from ..schema import PAGES_SPEC, MergeSpec
+
         self.lake_dir = lake_dir
         self.schema = schema_mod.schema_from_json(schema_json)
         self.tag = tag
+        self.mspec = (
+            MergeSpec.from_dict(merge_spec_dict) if merge_spec_dict else PAGES_SPEC
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -44,14 +49,23 @@ class Compactor:
             base = FileEntry.from_dict(spec["base"]) if spec["base"] else None
             deltas = [FileEntry.from_dict(d) for d in spec["deltas"]]
             merged = merge_partition_files(
-                self.lake_dir, base, deltas, self.schema, keep_tombstones=False
+                self.lake_dir,
+                base,
+                deltas,
+                self.schema,
+                keep_tombstones=False,
+                spec=self.mspec,
             )
             merged = strip_internal(merged)
             rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             size = atomic_write_parquet(merged, abspath)
-            max_lsn = (pc.max(merged.column("lsn")).as_py() or 0) if merged.num_rows else 0
+            max_lsn = (
+                (pc.max(merged.column(self.mspec.lsn_col)).as_py() or 0)
+                if merged.num_rows
+                else 0
+            )
             rows.append(
                 {
                     "path": rel,
@@ -93,7 +107,7 @@ def compact(
     state = man.load_state()
     upto = max(state.committed_epochs, default=-1)
     schema = state.schema if state.schema is not None else pa.schema([])
-    if "op" not in schema.names:
+    if man.merge_spec.has_tombstones and "op" not in schema.names:
         schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
 
     items = []
@@ -120,7 +134,12 @@ def compact(
         rd.from_items(items)
         .map_batches(
             Compactor,
-            fn_constructor_args=(lake_dir, schema_mod.schema_to_json(schema), f"c{cid:06d}"),
+            fn_constructor_args=(
+                lake_dir,
+                schema_mod.schema_to_json(schema),
+                f"c{cid:06d}",
+                man.merge_spec.to_dict(),
+            ),
             batch_format="pyarrow",
             batch_size=1,
             concurrency=max(1, min(concurrency, len(items) // 4 or 1)),
@@ -137,7 +156,11 @@ def compact(
         )
         for r in stats
     ]
-    base_schema = schema.remove(schema.get_field_index("op"))
+    base_schema = (
+        schema.remove(schema.get_field_index("op"))
+        if "op" in schema.names
+        else schema
+    )
     man.commit_compaction(upto, entries, base_schema, cid=cid)
     return {
         "compacted_partitions": len(entries),

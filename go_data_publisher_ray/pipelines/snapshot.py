@@ -22,7 +22,11 @@ from ..state.manifest import FileEntry, Manifest
 def _snapshot_items(man: Manifest) -> tuple[list[dict], pa.Schema]:
     state = man.load_state()
     schema = state.schema if state.schema is not None else pa.schema([])
-    if "op" not in schema.names and any(state.deltas.values()):
+    if (
+        man.merge_spec.has_tombstones
+        and "op" not in schema.names
+        and any(state.deltas.values())
+    ):
         schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
     items = []
     for part in range(man.num_partitions):
@@ -50,9 +54,15 @@ def make_partition_merger(
     keep_tombstones: bool = False,
     keep_lineage: bool = True,
     columns: list[str] | None = None,
+    merge_spec_dict: dict | None = None,
 ):
     """Factory for the per-partition merge UDF (stateless task; the
-    closure ships only paths + a schema string)."""
+    closure ships only paths + a schema string + the entity spec)."""
+    from ..schema import PAGES_SPEC, MergeSpec
+
+    mspec = (
+        MergeSpec.from_dict(merge_spec_dict) if merge_spec_dict else PAGES_SPEC
+    )
 
     def merge(batch: pa.Table) -> pa.Table:
         unified = schema_mod.schema_from_json(schema_json)
@@ -62,10 +72,17 @@ def make_partition_merger(
             base = FileEntry.from_dict(spec["base"]) if spec["base"] else None
             deltas = [FileEntry.from_dict(d) for d in spec["deltas"]]
             merged = merge_partition_files(
-                lake_dir, base, deltas, unified, keep_tombstones=keep_tombstones
+                lake_dir,
+                base,
+                deltas,
+                unified,
+                keep_tombstones=keep_tombstones,
+                spec=mspec,
             )
             if not keep_tombstones:
-                merged = strip_internal(merged, extra=() if keep_lineage else ("lsn",))
+                merged = strip_internal(
+                    merged, extra=() if keep_lineage else (mspec.lsn_col,)
+                )
             if columns:
                 merged = merged.select(columns)
             out.append(merged)
@@ -93,6 +110,7 @@ def snapshot(
         schema_mod.schema_to_json(schema),
         keep_lineage=keep_lineage,
         columns=columns,
+        merge_spec_dict=man.merge_spec.to_dict(),
     )
     return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
 
@@ -115,10 +133,11 @@ def export_snapshot(
 
 
 def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:
-    """Driver-side merged table, sorted by url (tests / small lakes)."""
+    """Driver-side merged table, sorted by the entity's key columns
+    (tests / small lakes)."""
     import pyarrow.compute as pc
-    import ray
 
+    keys = Manifest(lake_dir).merge_spec.key_cols
     ds = snapshot(lake_dir, **kwargs)
     tables = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
@@ -129,4 +148,5 @@ def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:
         return pa.schema([]).empty_table()
     unified = schema_mod.unify(*[t.schema for t in tables])
     t = pa.concat_tables([schema_mod.conform(x, unified) for x in tables])
-    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")])).combine_chunks()
+    sort_keys = [(k, "ascending") for k in keys]
+    return t.take(pc.sort_indices(t, sort_keys=sort_keys)).combine_chunks()

@@ -57,6 +57,69 @@ OPS = ("insert", "update", "delete")
 INTERNAL_COLUMNS = ("op", "part", "salt", "urlhash")
 
 
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    """The merge semantics of one lake entity — what makes the engine
+    generalize beyond web pages (the reference runs 4 entity pipelines:
+    transactions, tick-data, computors, tick-intervals; SURVEY.md §2.8).
+
+    - ``key_cols``: the upsert key (composite allowed).  The FIRST key
+      column is the partition column — coarser than the full key, which
+      is safe (same key always lands in the same partition) and lets a
+      composite-keyed entity partition on its natural prefix.
+    - ``order_cols``: conflict resolution, all descending — keep the
+      row with the max tuple.  Pages: (warc_ts, lsn) = LWW with
+      deterministic lsn tie-break.  Intervals: (to_lsn, lsn) = the
+      reference's monotone keep-max-`to` merge
+      (`tick-intervals-consumer/consume/intervals_processor.go:103-149`).
+    - ``lsn_col``: per-row lineage ordinal for checkpoints/watermarks.
+    - ``has_tombstones``: whether an ``op`` column with delete
+      semantics exists (intervals never delete).
+    """
+
+    key_cols: tuple[str, ...] = ("url",)
+    order_cols: tuple[str, ...] = ("warc_ts", "lsn")
+    lsn_col: str = "lsn"
+    has_tombstones: bool = True
+
+    @property
+    def partition_col(self) -> str:
+        return self.key_cols[0]
+
+    def to_dict(self) -> dict:
+        return {
+            "key_cols": list(self.key_cols),
+            "order_cols": list(self.order_cols),
+            "lsn_col": self.lsn_col,
+            "has_tombstones": self.has_tombstones,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MergeSpec":
+        return cls(
+            key_cols=tuple(d["key_cols"]),
+            order_cols=tuple(d["order_cols"]),
+            lsn_col=d["lsn_col"],
+            has_tombstones=d["has_tombstones"],
+        )
+
+
+PAGES_SPEC = MergeSpec()
+
+# Second entity: processed tick-intervals as a lake table (epoch_id,
+# from_lsn) -> keep max to_lsn — the metadata-plane entity proving the
+# same manifest/delta/compaction machinery generalizes.
+INTERVALS_SPEC = MergeSpec(
+    key_cols=("epoch_id", "from_lsn"),
+    order_cols=("to_lsn", "lsn"),
+    lsn_col="lsn",
+    has_tombstones=False,
+)
+
+
 def schema_to_json(schema: pa.Schema) -> str:
     """Serialize a schema for the manifest (human-auditable JSON)."""
     return json.dumps([[f.name, str(f.type)] for f in schema])

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.hashing import hash_and_partition, partition_for
+from ..schema import PAGES_SPEC, MergeSpec
 from ..state.manifest import FileEntry
 
 # LWW order: per url keep the row with max (warc_ts, lsn).
@@ -94,6 +95,15 @@ def keep_last_by(
     return table.filter(mask)
 
 
+def collapse_table(table: pa.Table, spec: MergeSpec = PAGES_SPEC) -> pa.Table:
+    """Spec-driven collapse: the pages entity keeps its urlhash-
+    accelerated fast path; any other entity goes through the general
+    ``keep_last_by`` kernel (same sort + adjacent-compare shape)."""
+    if spec == PAGES_SPEC:
+        return lww_collapse(table)
+    return keep_last_by(table, list(spec.key_cols), list(spec.order_cols))
+
+
 def drop_tombstones(table: pa.Table) -> pa.Table:
     if "op" not in table.schema.names:
         return table
@@ -126,14 +136,17 @@ class AddPartitionAndCombine:
         combine: bool = True,
         validate: bool = True,
         patch_rules: tuple = (),
+        spec: MergeSpec = PAGES_SPEC,
     ):
         self.num_partitions = num_partitions
         self.salt = salt
         self.combine = combine
         self.validate = validate
         self.patch_rules = patch_rules
+        self.spec = spec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
         if self.patch_rules:
             # M6 analog: conditional rewrite of known-bad ranges BEFORE
             # the merge (`status-service/sync/tick_processor.go:210-214`)
@@ -144,29 +157,38 @@ class AddPartitionAndCombine:
             # M3 analog (`tick-data-consumer/kafka/client.go:72-79`):
             # reject records that cannot be keyed/ordered instead of
             # poisoning the partition merge
-            mask = pc.and_(
-                pc.is_valid(batch.column("url")), pc.is_valid(batch.column("lsn"))
-            )
-            if "warc_ts" in batch.schema.names:
-                mask = pc.and_(mask, pc.is_valid(batch.column("warc_ts")))
-            if not pc.all(mask).as_py():
+            mask = None
+            for c in (*spec.key_cols, spec.lsn_col, *spec.order_cols):
+                if c in batch.schema.names:
+                    v = pc.is_valid(batch.column(c))
+                    mask = v if mask is None else pc.and_(mask, v)
+            if mask is not None and not pc.all(mask).as_py():
                 batch = batch.filter(mask)
-        urlhash, part = hash_and_partition(batch.column("url"), self.num_partitions)
-        batch = batch.append_column("urlhash", pa.array(urlhash))
+        key0 = batch.column(spec.partition_col)
+        if pa.types.is_string(key0.type) or pa.types.is_large_string(key0.type):
+            # string keys get the hash column as a sort accelerator too
+            urlhash, part = hash_and_partition(key0, self.num_partitions)
+            batch = batch.append_column("urlhash", pa.array(urlhash))
+        else:
+            part = partition_for(key0, self.num_partitions)
         batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if self.combine:
-            batch = lww_collapse(batch)
+            batch = collapse_table(batch, spec)
         if self.salt > 1:
-            lsn = batch.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
+            lsn = (
+                batch.column(spec.lsn_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
             batch = batch.append_column(
                 "salt", pa.array((lsn % self.salt).astype("int32"))
             )
         return batch
 
 
-def collapse_group(group: pa.Table) -> pa.Table:
-    """map_groups UDF for the salted first pass: pure LWW collapse."""
-    return lww_collapse(group)
+def collapse_group(group: pa.Table, spec: MergeSpec = PAGES_SPEC) -> pa.Table:
+    """map_groups UDF for the salted first pass: pure spec collapse."""
+    return collapse_table(group, spec)
 
 
 def atomic_write_parquet(table: pa.Table, path: str) -> int:
@@ -216,6 +238,7 @@ class DeltaWriter:
         crash_marker: str | None = None,
         poison_parts: tuple[int, ...] = (),
         deadletter: bool = True,
+        spec: MergeSpec = PAGES_SPEC,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -223,6 +246,7 @@ class DeltaWriter:
         self.crash_marker = crash_marker
         self.poison_parts = tuple(poison_parts)
         self.deadletter = deadletter
+        self.spec = spec
         self.__name__ = f"DeltaWriter_e{epoch}"  # ray map_groups wants a __name__
 
     def _stats(self, part: int, rel: str, rows: int, size: int, max_lsn: int, error: str) -> pa.Table:
@@ -249,14 +273,14 @@ class DeltaWriter:
         try:
             if part in self.poison_parts:
                 raise ValueError(f"injected poison partition {part}")
-            out = lww_collapse(group)
+            out = collapse_table(group, self.spec)
             drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
             out = out.drop_columns(drop)
             rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             size = atomic_write_parquet(out, abspath)
-            max_lsn = pc.max(out.column("lsn")).as_py() or 0
+            max_lsn = pc.max(out.column(self.spec.lsn_col)).as_py() or 0
         except (pa.ArrowInvalid, ValueError, KeyError) as exc:
             if not self.deadletter:
                 raise
@@ -282,20 +306,21 @@ class BaseWriter:
     file ``part={P}/base_{tag}.parquet`` (live rows only, sorted by url,
     no op column)."""
 
-    def __init__(self, lake_dir: str, tag: str):
+    def __init__(self, lake_dir: str, tag: str, spec: MergeSpec = PAGES_SPEC):
         self.lake_dir = lake_dir
         self.tag = tag
+        self.spec = spec
         self.__name__ = f"BaseWriter_{tag}"  # ray map_groups wants a __name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
-        out = lww_collapse(group)
+        out = collapse_table(group, self.spec)
         out = strip_internal(out)
         rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
         abspath = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         size = atomic_write_parquet(out, abspath)
-        max_lsn = pc.max(out.column("lsn")).as_py() or 0
+        max_lsn = pc.max(out.column(self.spec.lsn_col)).as_py() or 0
         return pa.table(
             {
                 "path": [rel],
@@ -315,34 +340,39 @@ def merge_partition_files(
     *,
     keep_tombstones: bool,
     columns: list[str] | None = None,
+    spec: MergeSpec = PAGES_SPEC,
 ) -> pa.Table:
     """Read one partition's live base+delta files and produce its merged
-    view (vectorized concat -> LWW collapse).  Used by both the
+    view (vectorized concat -> spec-driven collapse).  Used by both the
     snapshot reader and the compactor.
 
-    Base rows have no ``op`` column (base files only hold live rows);
-    they are treated as op='insert' during the merge.
+    For tombstoned entities, base rows have no ``op`` column (base
+    files only hold live rows); they are treated as op='insert' during
+    the merge.
     """
     from ..schema import conform
 
     tables = []
     for fe, is_base in ([(base, True)] if base else []) + [(f, False) for f in deltas]:
         t = pq.read_table(os.path.join(lake_dir, fe.path))
-        if "op" not in t.schema.names:
+        if spec.has_tombstones and "op" not in t.schema.names:
             op = pa.nulls(t.num_rows, pa.string()).fill_null("insert")
             t = t.append_column("op", op)
         tables.append(conform(t, unified_schema))
     if not tables:
         return unified_schema.empty_table()
     merged = pa.concat_tables(tables)
-    # hash-accelerated collapse (the hash column is internal, stripped
-    # by callers via strip_internal)
-    from ..functions.hashing import stable_hash64
+    if spec == PAGES_SPEC:
+        # hash-accelerated collapse (the hash column is internal,
+        # stripped by callers via strip_internal)
+        from ..functions.hashing import stable_hash64
 
-    merged = merged.append_column(
-        "urlhash", pa.array(stable_hash64(merged.column("url")).astype("int64"))
-    )
-    merged = lww_collapse(merged).drop_columns(["urlhash"])
+        merged = merged.append_column(
+            "urlhash", pa.array(stable_hash64(merged.column("url")).astype("int64"))
+        )
+        merged = lww_collapse(merged).drop_columns(["urlhash"])
+    else:
+        merged = collapse_table(merged, spec)
     if not keep_tombstones:
         merged = drop_tombstones(merged)
     if columns:

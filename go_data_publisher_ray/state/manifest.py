@@ -109,7 +109,12 @@ class LakeState:
 class Manifest:
     """Driver-side manifest/checkpoint manager for one lake directory."""
 
-    def __init__(self, lake_dir: str, num_partitions: int | None = None):
+    def __init__(
+        self,
+        lake_dir: str,
+        num_partitions: int | None = None,
+        merge_spec=None,
+    ):
         self.lake_dir = lake_dir
         self.manifest_dir = os.path.join(lake_dir, "manifest")
         self.checkpoint_dir = os.path.join(lake_dir, "checkpoints")
@@ -126,11 +131,23 @@ class Manifest:
             if num_partitions is None:
                 raise ValueError("new lake needs num_partitions")
             self.meta = {"num_partitions": num_partitions, "format": "gdp-ray-lake-v1"}
+            if merge_spec is not None:
+                self.meta["merge_spec"] = merge_spec.to_dict()
             atomic_write_json(meta_path, self.meta)
 
     @property
     def num_partitions(self) -> int:
         return self.meta["num_partitions"]
+
+    @property
+    def merge_spec(self):
+        """The entity's merge semantics (schema.MergeSpec); lakes
+        created before specs existed are pages."""
+        from ..schema import PAGES_SPEC, MergeSpec
+
+        if "merge_spec" in self.meta:
+            return MergeSpec.from_dict(self.meta["merge_spec"])
+        return PAGES_SPEC
 
     # ------------------------------------------------------------------
     def _epoch_path(self, epoch: int) -> str:

@@ -1,0 +1,116 @@
+"""Second lake entity: processed tick-intervals through the SAME
+manifest/delta/compaction machinery, with the reference's monotone
+merge — keep max(to) per (epoch_id, from)
+(`tick-intervals-consumer/consume/intervals_processor.go:103-149`).
+Proves the engine generalizes beyond the pages entity (MergeSpec)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+from go_data_publisher_ray.pipelines.compact import compact
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.schema import INTERVALS_SPEC
+from go_data_publisher_ray.state.manifest import Manifest
+
+P = 4
+N_EPOCHS = 6
+EVENTS_PER_EPOCH = 400
+N_GROUPS = 50  # distinct epoch_id values (the partition key)
+
+
+def _intervals_fixture(root: str) -> tuple[str, str]:
+    """Deterministic interval change log: base rows then per-epoch
+    updates that grow (or try to shrink) each interval's `to`."""
+    rng = np.random.default_rng(77)
+    base_dir = os.path.join(root, "base")
+    os.makedirs(base_dir, exist_ok=True)
+    eid = np.arange(N_GROUPS, dtype=np.int64)
+    base = pa.table(
+        {
+            "epoch_id": eid,
+            "from_lsn": eid * 1000,
+            "to_lsn": eid * 1000 + rng.integers(1, 50, N_GROUPS),
+            "lsn": np.zeros(N_GROUPS, dtype=np.int64),
+        }
+    )
+    pq.write_table(base, os.path.join(base_dir, "chunk-00000.parquet"))
+
+    events_dir = os.path.join(root, "events")
+    lsn = 1
+    for e in range(N_EPOCHS):
+        g = rng.integers(0, N_GROUPS, EVENTS_PER_EPOCH).astype(np.int64)
+        lsns = np.arange(lsn, lsn + EVENTS_PER_EPOCH, dtype=np.int64)
+        lsn += EVENTS_PER_EPOCH
+        t = pa.table(
+            {
+                "epoch_id": g,
+                "from_lsn": g * 1000,
+                # mix of growth and stale (smaller) `to` values: the
+                # monotone merge must keep the max regardless of order
+                "to_lsn": g * 1000 + rng.integers(1, 500, EVENTS_PER_EPOCH),
+                "lsn": lsns,
+                "epoch": np.full(EVENTS_PER_EPOCH, e, dtype=np.int32),
+            }
+        )
+        edir = os.path.join(events_dir, f"epoch={e}")
+        os.makedirs(edir, exist_ok=True)
+        pq.write_table(t, os.path.join(edir, "chunk-00000.parquet"))
+    return base_dir, events_dir
+
+
+def _oracle(base_dir: str, events_dir: str) -> pd.DataFrame:
+    dfs = [pq.read_table(os.path.join(base_dir, "chunk-00000.parquet")).to_pandas()]
+    for name in sorted(os.listdir(events_dir)):
+        f = os.path.join(events_dir, name, "chunk-00000.parquet")
+        dfs.append(pq.read_table(f).to_pandas().drop(columns=["epoch"]))
+    df = pd.concat(dfs, ignore_index=True)
+    df = df.sort_values(["epoch_id", "from_lsn", "to_lsn", "lsn"], kind="stable")
+    df = df.drop_duplicates(["epoch_id", "from_lsn"], keep="last")
+    return df.sort_values(["epoch_id", "from_lsn"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def intervals_log(tmp_path_factory) -> tuple[str, str]:
+    root = str(tmp_path_factory.mktemp("intervals"))
+    return _intervals_fixture(root)
+
+
+def test_intervals_apply_matches_monotone_merge(ray_session, intervals_log, lake_dir):
+    base_dir, events_dir = intervals_log
+    bootstrap(base_dir, lake_dir, P, merge_spec=INTERVALS_SPEC)
+    assert Manifest(lake_dir).merge_spec == INTERVALS_SPEC
+    apply_log(events_dir, lake_dir)
+
+    got = snapshot_table(lake_dir).to_pandas().reset_index(drop=True)
+    want = _oracle(base_dir, events_dir)
+    pd.testing.assert_frame_equal(
+        got[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
+        want[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
+    )
+    # monotonicity: every merged `to` is the max ever seen for its key
+    assert (got["to_lsn"].values >= got["from_lsn"].values).all()
+
+
+def test_intervals_compaction_and_resume(ray_session, intervals_log, lake_dir):
+    base_dir, events_dir = intervals_log
+    bootstrap(base_dir, lake_dir, P, merge_spec=INTERVALS_SPEC)
+    apply_log(events_dir, lake_dir, stop_after=3)
+    compact(lake_dir)
+    # resume skips committed epochs, applies the rest, merges over the
+    # compacted base
+    results = apply_log(events_dir, lake_dir)
+    assert sum(1 for r in results if r.get("skipped")) == 3
+    got = snapshot_table(lake_dir).to_pandas().reset_index(drop=True)
+    want = _oracle(base_dir, events_dir)
+    pd.testing.assert_frame_equal(
+        got[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
+        want[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
+    )
