@@ -32,6 +32,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Benchmarks default to the payload-reference exchange (fastest and the
+# scale-correct design: only light key rows cross the sort shuffle,
+# payload bytes go via map-side per-partition spill files on the lake's
+# shared storage — measured +48% end-to-end vs the sort exchange at 32
+# cpus).  Library/test default stays the sort exchange; set
+# GDP_EXCHANGE=sort here to compare.
+os.environ.setdefault("GDP_EXCHANGE", "ref")
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "4000000"))
 N_BASE = int(os.environ.get("GRAFT_BENCH_BASE", "200000"))
 N_EPOCHS = int(os.environ.get("GRAFT_BENCH_EPOCHS", "2"))
@@ -184,7 +192,9 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # push-based sort shuffle: fewer object-store copies on the epoch
-    # exchange (measured faster at every cpu count on this box)
+    # exchange (measured faster at every cpu count on this box).  The
+    # GDP_EXCHANGE=hash apply path scopes HASH_SHUFFLE to its own
+    # dataset inside apply_epoch (groupby.map_groups hangs under it).
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     headline = run_headline()

@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--base", required=True)
     b.add_argument("--lake", required=True)
     b.add_argument("--partitions", type=int, default=32)
+    b.add_argument(
+        "--entity",
+        choices=["pages", "intervals"],
+        default="pages",
+        help="merge semantics for the lake (schema.MergeSpec); fixed at creation",
+    )
 
     a = sub.add_parser("apply", help="apply pending epochs (or one epoch)")
     a.add_argument("--events", required=True)
@@ -66,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--epoch", type=int, default=None)
     a.add_argument("--force", action="store_true")
     a.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    a.add_argument(
+        "--patch",
+        default=None,
+        help=(
+            "JSON list of data-quality patch rules (M6), e.g. "
+            '\'[{"range_col":"lsn","lo":100,"hi":200,"set_col":"lang",'
+            '"set_value":"und"}]\''
+        ),
+    )
 
     t = sub.add_parser("tail", help="poll for new epochs and apply them")
     t.add_argument("--events", required=True)
@@ -125,8 +140,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "bootstrap":
             from .pipelines.apply import bootstrap
+            from .schema import INTERVALS_SPEC
 
-            print(json.dumps(bootstrap(args.base, args.lake, args.partitions)))
+            spec = INTERVALS_SPEC if args.entity == "intervals" else None
+            print(
+                json.dumps(
+                    bootstrap(args.base, args.lake, args.partitions, merge_spec=spec)
+                )
+            )
         elif args.cmd == "apply":
             events_dir = args.events
             if args.format == "jsonl":
@@ -135,14 +156,28 @@ def main(argv: list[str] | None = None) -> int:
                 events_dir = jsonl_events_to_parquet(events_dir)
             from .pipelines.apply import apply_epoch, apply_log
 
+            patch_rules = ()
+            if args.patch:
+                from .stages.patch import PatchRule
+
+                patch_rules = tuple(
+                    PatchRule(**r) for r in json.loads(args.patch)
+                )
             if args.epoch is not None:
                 out = [
                     apply_epoch(
-                        events_dir, args.lake, args.epoch, salt=args.salt, force=args.force
+                        events_dir,
+                        args.lake,
+                        args.epoch,
+                        salt=args.salt,
+                        force=args.force,
+                        patch_rules=patch_rules,
                     )
                 ]
             else:
-                out = apply_log(events_dir, args.lake, salt=args.salt)
+                out = apply_log(
+                    events_dir, args.lake, salt=args.salt, patch_rules=patch_rules
+                )
             print(json.dumps(out))
         elif args.cmd == "tail":
             from .pipelines.tail import tail

@@ -208,6 +208,16 @@ def apply_epoch(
     )
     src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
     spec = man.merge_spec
+    use_hash_exchange = os.environ.get("GDP_EXCHANGE") == "hash" and salt <= 1
+    if use_hash_exchange:
+        # the Dataset snapshots DataContext at creation, so the scoped
+        # strategy switch must wrap the READ as well as the exchange
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        _ctx = DataContext.get_current()
+        _prev_strategy = _ctx.shuffle_strategy
+        _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds = rd.read_parquet(edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir)))
     ds = ds.map_batches(
         AddPartitionAndCombine(
@@ -222,17 +232,72 @@ def apply_epoch(
         salted = functools.partial(collapse_group, spec=spec)
         ds = ds.groupby(["part", "salt"]).map_groups(salted, batch_format="pyarrow")
     fault = fault or {}
-    stats = ds.groupby("part").map_groups(
-        DeltaWriter(
-            lake_dir,
-            epoch,
-            crash_marker=fault.get("crash_marker"),
-            poison_parts=tuple(fault.get("poison_parts", ())),
-            spec=spec,
-        ),
-        batch_format="pyarrow",
+    writer_kw = dict(
+        crash_marker=fault.get("crash_marker"),
+        poison_parts=tuple(fault.get("poison_parts", ())),
+        spec=spec,
     )
-    entries, errors = _stats_to_entries(stats.take_all())
+    # Exchange choice (GDP_EXCHANGE): "sort" (default) = groupby(part)
+    # sort shuffle; "hash" = hash repartition on part + whole-block
+    # multi-partition writer — no global sort of payload rows (the sort
+    # is the memcpy-heavy step on wide binary rows; a hash exchange only
+    # moves each row once).  Requires DataContext.shuffle_strategy =
+    # HASH_SHUFFLE to take effect (see bench.py).
+    if use_hash_exchange:
+        # NOTE: HASH_SHUFFLE is scoped to this epoch's dataset —
+        # groupby().map_groups hangs under it in ray 2.49, so the
+        # strategy must not leak to other pipelines in the session.
+        from ..stages.merge import MultiPartDeltaWriter
+
+        try:
+            stats = ds.repartition(
+                num_blocks=man.num_partitions, keys=["part"]
+            ).map_batches(
+                MultiPartDeltaWriter(lake_dir, epoch, **writer_kw),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            rows = stats.take_all()
+        finally:
+            _ctx.shuffle_strategy = _prev_strategy
+    elif os.environ.get("GDP_EXCHANGE") == "ref" and salt <= 1:
+        # payload-reference exchange: only light key rows go through
+        # the sort shuffle; payload bytes take the map-side spill-file
+        # path (written once, read once, per-partition files on shared
+        # lake storage).  See stages/merge.py PayloadSpill/RefDeltaWriter.
+        import shutil as _shutil
+
+        from ..stages.merge import PayloadSpill, RefDeltaWriter
+
+        epoch_schema_probe = _parquet_dir_schema(edir)
+        column_order = [
+            n for n in epoch_schema_probe.names if n not in ("epoch", "part")
+        ]
+        spill_dir = os.path.join(lake_dir, "spill", f"epoch={epoch:06d}")
+        _shutil.rmtree(spill_dir, ignore_errors=True)  # orphans from a crash
+        os.makedirs(spill_dir, exist_ok=True)
+        light = ds.map_batches(
+            PayloadSpill(spill_dir, spec=spec), batch_format="pyarrow"
+        )
+        stats = light.groupby("part").map_groups(
+            RefDeltaWriter(
+                lake_dir,
+                epoch,
+                spill_dir=spill_dir,
+                column_order=column_order,
+                **writer_kw,
+            ),
+            batch_format="pyarrow",
+        )
+        rows = stats.take_all()
+        _shutil.rmtree(spill_dir, ignore_errors=True)  # transient shuffle files
+    else:
+        stats = ds.groupby("part").map_groups(
+            DeltaWriter(lake_dir, epoch, **writer_kw),
+            batch_format="pyarrow",
+        )
+        rows = stats.take_all()
+    entries, errors = _stats_to_entries(rows)
 
     epoch_schema = _parquet_dir_schema(edir)
     if "epoch" in epoch_schema.names:
