@@ -659,6 +659,44 @@ def window_tumbling_hourly(sf_dir: str):
     )
 
 
+@query(
+    "window_hopping",
+    """
+    SELECT window_start, count(*) AS n_events, max(value) AS max_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+    GROUP BY 1
+    """,
+)
+def window_hopping(sf_dir: str):
+    """Hopping event-time windows (size 2h, hop 1h): each event lands
+    in two windows — expressed as a vectorized in-batch row expansion
+    (concat of the two window assignments) followed by one bucketed
+    groupby; no per-row Python."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        prev = pc.cast(
+            pc.subtract(pc.cast(hour, pa.int64()), pa.scalar(3_600_000_000)),
+            pa.timestamp("us"),
+        )
+        return pa.concat_tables(
+            [
+                pa.table({"window_start": hour, "value": t.column("value")}),
+                pa.table({"window_start": prev, "value": t.column("value")}),
+            ]
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(*_agg(n_events="count", max_value=("max", "value")))
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1367,6 +1405,113 @@ def ann_kmeans_cells(sf_dir: str):
     centroids (VERDICT r1 next-round #8)."""
     return _kmeans_assigned(sf_dir).groupby("cell_id").aggregate(
         *_agg(n_vectors="count")
+    )
+
+
+N_PROBE = 2
+
+
+def _ivf_search_sql() -> str:
+    return f"""
+    WITH {_kmeans_cte(KM_K, KM_ITERS)},
+    cv AS (
+      SELECT cell_id, list(c4 / 10000.0 ORDER BY dim) AS cvec
+      FROM c{KM_ITERS} GROUP BY 1),
+    qcells AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                          c.cell_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cv c
+        WHERE e.vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE})
+    SELECT query_id, "rank", neighbor_id FROM (
+      SELECT qc.query_id, m.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY qc.query_id
+               ORDER BY list_cosine_similarity(em.embedding::DOUBLE[], eq.embedding::DOUBLE[]) DESC,
+                        m.vec_id ASC) AS "rank"
+      FROM qcells qc
+      JOIN afinal m ON m.cell_id = qc.cell_id
+      JOIN embeddings em ON em.vec_id = m.vec_id
+      JOIN embeddings eq ON eq.vec_id = qc.query_id
+      WHERE m.vec_id <> qc.query_id)
+    WHERE "rank" <= {TOP_K}
+    """
+
+
+@query("ann_ivf_search", _ivf_search_sql())
+def ann_ivf_search(sf_dir: str):
+    """IVF approximate nearest-neighbor SEARCH: each query probes its
+    N_PROBE best trained cells and ranks only the vectors bucketed
+    there — the full IVF read path (train -> assign -> probe) whose
+    candidate set is n*nprobe/K per query instead of n.  Exact within
+    the probed cells; tie-breaks (sim desc, vec_id asc) match the
+    oracle."""
+    import functools
+
+    import ray
+
+    from ..stages.kmeans import S_C
+
+    model = _kmeans_model(sf_dir)
+    q = _load_vectors(sf_dir, N_QUERIES)
+    qmat = ann_stage.normalize_rows(np.asarray(q["matrix"], dtype=np.float64))
+    cmat = ann_stage.normalize_rows(np.asarray(model["c4"], dtype=np.float64) / S_C)
+    sims = qmat @ cmat.T  # (Q, K)
+    cell_ids = np.asarray(model["cell_ids"])
+    # nprobe best cells per query; ties -> lower cell id (lexsort)
+    qcells: dict[int, set] = {}
+    for qi, qid in enumerate(np.asarray(q["ids"])):
+        order = np.lexsort((cell_ids, -sims[qi]))[:N_PROBE]
+        qcells[int(qid)] = {int(cell_ids[o]) for o in order}
+    bref = ray.put({"ids": q["ids"], "matrix": q["matrix"], "qcells": qcells})
+
+    class ProbeTopK:
+        """Per batch: for each query, rank only rows whose cell_id is in
+        the query's probed set (broadcast fetched once per actor)."""
+
+        def __init__(self):
+            b = ray.get(bref)
+            self.qids = np.asarray(b["ids"], dtype=np.int64)
+            self.qmat = ann_stage.normalize_rows(
+                np.asarray(b["matrix"], dtype=np.float64)
+            )
+            self.qcells = b["qcells"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            cells = t.column("cell_id").to_numpy(zero_copy_only=False)
+            mat = ann_stage.normalize_rows(
+                ann_stage.fixed_len_matrix(t.column("embedding"))
+            )
+            sims = mat @ self.qmat.T
+            out_q, out_n, out_s = [], [], []
+            k = min(TOP_K + 1, len(vids))
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(cells, list(self.qcells[int(qid)]))
+                if not mask.any():
+                    continue
+                col = np.where(mask, sims[:, j], -np.inf)
+                idx = np.lexsort((vids, -col))[:k]
+                for i in idx:
+                    if mask[i] and vids[i] != qid:
+                        out_q.append(int(qid))
+                        out_n.append(int(vids[i]))
+                        out_s.append(float(col[i]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cands = _kmeans_assigned(sf_dir).map_batches(
+        ProbeTopK, batch_format="pyarrow", concurrency=2
+    )
+    return cands.groupby("query_id").map_groups(
+        functools.partial(ann_stage.topk_reduce, k=TOP_K), batch_format="pyarrow"
     )
 
 
