@@ -1185,6 +1185,137 @@ def dedup_simhash_pairs(sf_dir: str):
     return uniq
 
 
+def _cc_sql() -> str:
+    """Connected components over the (exact) simhash near-dup pairs as
+    a recursive transitive closure; cluster id = least reachable
+    doc_id.  The engine's min-label propagation converges to the same
+    fixpoint."""
+    return (
+        "WITH RECURSIVE "
+        + _simhash_sql_core().strip().removeprefix("WITH").strip()
+        + """,
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM prs
+      UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    rmin AS (SELECT s, min(d) AS m FROM reach GROUP BY 1)
+    SELECT doc.doc_id, least(doc.doc_id, coalesce(rmin.m, doc.doc_id)) AS cluster_id
+    FROM documents doc LEFT JOIN rmin ON rmin.s = doc.doc_id
+    """
+    )
+
+
+@query("dedup_cluster", _cc_sql())
+def dedup_cluster(sf_dir: str):
+    """Near-dup CLUSTERING: connected components over the exact
+    simhash hamming<=3 pair graph — the step that turns pairwise
+    candidates into dedup groups (keep one doc per cluster).
+    Distributed min-label propagation: per round, every node sends its
+    current label along its edges (two bucketed groupby exchanges) and
+    takes the min; the driver sees ONE scalar per round (the label sum,
+    monotonically decreasing) and stops at the fixpoint — rounds ~
+    cluster diameter, no driver-side graph state."""
+    import functools
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = ds.map_batches(dedup_stage.simhash_fingerprints, batch_format="pyarrow")
+    chunks = fps.map_batches(dedup_stage.simhash_chunks, batch_format="pyarrow")
+    pairs = (
+        chunks.groupby(["chunk", "val"])
+        .map_groups(
+            functools.partial(dedup_stage.hamming_pairs_from_bucket, max_hamming=3),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(*_agg(n="count"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]).astype(np.int64)),
+                "other": pa.array(np.concatenate([b, a]).astype(np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    labels = ds.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id"), "lab": t.column("doc_id")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "other": t.column("other"),
+                "lab": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "other": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "lab": pc.cast(t.column("lab"), pa.int64()),
+            }
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        """One node's bucket: its label row + its edges -> messages
+        (other, my_lab) plus the self-retaining (node, my_lab)."""
+        labs = group.column("lab").to_numpy(zero_copy_only=False)
+        is_lab = labs >= 0
+        my = labs[is_lab]
+        if len(my) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "lab": pa.array([], pa.int64())}
+            )
+        my_lab = int(my[0])
+        others = group.column("other").to_numpy(zero_copy_only=False)[~is_lab]
+        node = group.column("node")[0].as_py()
+        out_node = np.concatenate([others, [node]])
+        out_lab = np.full(len(out_node), my_lab, dtype=np.int64)
+        return pa.table({"node": pa.array(out_node.astype(np.int64)), "lab": pa.array(out_lab)})
+
+    from ray.data.aggregate import Min, Sum
+
+    prev_sum = None
+    for _round in range(20):  # cap >> any real near-dup cluster diameter
+        msgs = (
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .map_groups(send, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()
+        )
+        cur = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": pc.cast(t.column("lab"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ======================================================================
 # Training-data operators: similarity search over `embeddings`
 # ======================================================================
