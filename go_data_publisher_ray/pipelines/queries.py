@@ -741,6 +741,30 @@ def window_session(sf_dir: str):
 
 
 @query(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn % 10 = 1
+    """,
+)
+def sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling: every 10th document per
+    stratum (lang), by doc_id order — equal-rate per-group subsampling
+    (corpus balancing).  One bucketed groupby; the per-group body is a
+    vectorized sort + slice."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        return g.take(pa.array(np.arange(0, g.num_rows, 10)))
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pyarrow")
+
+
+@query(
     "sample_systematic",
     "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0",
 )
@@ -1422,6 +1446,53 @@ def ann_lsh_codes(sf_dir: str):
     land in one groupby bucket; no all-pairs scan)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(ann_stage.lsh_codes, batch_format="pyarrow")
+
+
+LSH_DEDUP_BITS = 8  # bucket count 2^bits; pick bits ~ log2(n) at scale
+
+
+def _lsh_dedup_sql() -> str:
+    mask = (1 << LSH_DEDUP_BITS) - 1
+    return f"""
+    WITH codes AS (
+      SELECT vec_id, lsh_code & {mask} AS bucket FROM ({_lsh_sql()}))
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+          >= {COS_DUP_THRESHOLD}
+    """
+
+
+@query("embedding_lsh_dedup", _lsh_dedup_sql())
+def embedding_lsh_dedup(sf_dir: str):
+    """Embedding near-dup pairs blocked by the random-hyperplane LSH
+    code (low LSH_DEDUP_BITS bits -> 2^bits buckets; pick bits ~
+    log2(n) so bucket population stays bounded as n grows) — the
+    hyperplane-bucketed scale path beside the k-means-cell variant
+    ``embedding_cosine_dedup``."""
+    import functools
+
+    mask = (1 << LSH_DEDUP_BITS) - 1
+
+    def code(t: pa.Table) -> pa.Table:
+        c = ann_stage.lsh_codes(t)
+        return t.append_column(
+            "bucket", pc.bit_wise_and(c.column("lsh_code"), mask)
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (
+        ds.map_batches(code, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            functools.partial(
+                ann_stage.cosine_pairs_in_cell, threshold=COS_DUP_THRESHOLD
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
 
 # ----------------------------------------------------------------------
