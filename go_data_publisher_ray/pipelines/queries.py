@@ -1774,6 +1774,37 @@ def multimodal_decode_meta(sf_dir: str):
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB) // 256 AS n_frames,
+           CASE WHEN octet_length(text::BLOB) // 256 > 0
+                THEN ((octet_length(text::BLOB) // 256) - 1) // 4 + 1
+                ELSE 0 END AS n_sampled,
+           CASE WHEN octet_length(text::BLOB) // 256 > 0
+                THEN md5(lower(substr(hex(text::BLOB), 1, 512))) END AS first_frame_md5
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(sf_dir: str):
+    """Frame sampling over opaque payloads (video-pipeline plumbing:
+    decode -> sample every 4th frame -> featurize), actor pool + small
+    batches; the deterministic byte-slicing fake lets the oracle verify
+    sampling arithmetic and first-frame bytes exactly."""
+    from ..stages.multimodal import FrameSampler
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    payloads = ds.map_batches(to_payload, batch_format="pyarrow")
+    return payloads.map_batches(
+        FrameSampler,
+        fn_constructor_args=(4, 256),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
 # ======================================================================
 # Flagship: end-to-end CDC apply on the engine's own synthesized lake,
 # with an exact DuckDB replay oracle over the fixture's on-disk parquet

@@ -32,6 +32,46 @@ def to_payload(batch: pa.Table, *, source_col: str = "text", id_col: str = "doc_
     )
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage: treat the opaque payload as a
+    sequence of fixed-size frames and keep every ``every``-th one — the
+    video-pipeline pattern (decode -> sample frames -> featurize) with
+    a deterministic byte-slicing fake standing in for the codec.  Emits
+    per-doc frame counts and the first sampled frame's content hash so
+    an oracle can verify the sampling arithmetic and byte slicing
+    end to end."""
+
+    def __init__(self, every: int = 4, frame_bytes: int = 256):
+        self.every = every
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fb = self.frame_bytes
+        payloads = batch.column("payload").to_pylist()
+        n_frames = []
+        n_sampled = []
+        first_md5 = []
+        for p in payloads:
+            nf = len(p) // fb
+            n_frames.append(nf)
+            n_sampled.append(0 if nf == 0 else (nf - 1) // self.every + 1)
+            first_md5.append(
+                hashlib.md5(bytes(p[:fb]).hex().encode("ascii")).hexdigest()
+                if nf > 0
+                else None
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int64()),
+                "first_frame_md5": pa.array(first_md5, pa.string()),
+            }
+        )
+
+
 class DecoderStub:
     """Actor-pool decode stage.  ``__init__`` is where a real codec
     would be loaded once per actor; ``__call__`` decodes per batch.

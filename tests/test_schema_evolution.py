@@ -54,3 +54,60 @@ def test_schema_evolution(ray_session, tmp_path):
     want = replay_oracle_table(os.path.join(log, "base"), os.path.join(log, "events"))
     ok, msg = tables_equal(got, want)
     assert ok, msg
+
+
+def test_int_widen_evolution(ray_session, tmp_path):
+    """A later epoch widening an int column (int32 -> int64) unifies
+    via promote_options='permissive': pre-widen rows read back cast to
+    the wider type and the manifest schema records int64."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base_dir = str(tmp_path / "base")
+    events_dir = str(tmp_path / "events")
+    os.makedirs(base_dir)
+    base = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(20)]),
+            "warc_ts": pa.array(
+                np.arange(20, dtype=np.int64) + 1_000, type=pa.timestamp("us")
+            ),
+            "score": pa.array(np.arange(20, dtype=np.int32)),
+            "lsn": pa.array(np.zeros(20, dtype=np.int64)),
+        }
+    )
+    pq.write_table(base, os.path.join(base_dir, "chunk-00000.parquet"))
+    for e, typ in ((0, pa.int32()), (1, pa.int64())):
+        edir = os.path.join(events_dir, f"epoch={e}")
+        os.makedirs(edir)
+        t = pa.table(
+            {
+                "lsn": pa.array(np.arange(5, dtype=np.int64) + 1 + e * 5),
+                "op": pa.array(["update"] * 5),
+                "url": pa.array([f"u{i}" for i in range(5)]),
+                "warc_ts": pa.array(
+                    np.arange(5, dtype=np.int64) + 2_000 + e * 100,
+                    type=pa.timestamp("us"),
+                ),
+                "score": pa.array(
+                    (np.arange(5) + 100 + e * 1_000_000_000_000).astype(
+                        "int32" if typ == pa.int32() else "int64"
+                    ),
+                    type=typ,
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(edir, "chunk-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    bootstrap(base_dir, lake, 4)
+    apply_log(events_dir, lake)
+    state = Manifest(lake).load_state()
+    assert state.schema.field("score").type == pa.int64()
+    got = snapshot_table(lake)
+    assert got.schema.field("score").type == pa.int64()
+    # widened value from epoch 1 survived; un-touched rows keep int32
+    # values upcast losslessly
+    by_url = dict(zip(got.column("url").to_pylist(), got.column("score").to_pylist()))
+    assert by_url["u0"] == 100 + 1_000_000_000_000
+    assert by_url["u19"] == 19

@@ -140,6 +140,20 @@ def test_ann_topk_matches_bruteforce():
         assert reduced[qid] == list(ids[order])
 
 
+def test_frame_sampler_arithmetic():
+    import hashlib
+
+    from go_data_publisher_ray.stages.multimodal import FrameSampler, to_payload
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a" * 1024, "b" * 300, "c" * 10]})
+    out = FrameSampler(every=4, frame_bytes=256)(to_payload(t))
+    assert out.column("n_frames").to_pylist() == [4, 1, 0]
+    assert out.column("n_sampled").to_pylist() == [1, 1, 0]
+    md5s = out.column("first_frame_md5").to_pylist()
+    assert md5s[0] == hashlib.md5(("a" * 256).encode().hex().encode()).hexdigest()
+    assert md5s[2] is None
+
+
 def test_multimodal_stub_plumbing():
     t = pa.table({"doc_id": [1, 2], "text": ["abcd" * 100, "x"]})
     payload = to_payload(t)
