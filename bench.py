@@ -59,6 +59,7 @@ DEFAULT_BENCH_QUERIES = [
     "text_quality_score",
     "knn_bruteforce",
     "ann_ivf_assign",
+    "ann_kmeans_cells",
     "multimodal_decode_meta",
 ]
 

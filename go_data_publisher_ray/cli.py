@@ -99,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
+    st.add_argument(
+        "--serve",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve GET /status + /health over HTTP instead of printing once",
+    )
 
     v = sub.add_parser("verify", help="gap scan + lineage check (+ replay oracle)")
     v.add_argument("--lake", required=True)
@@ -199,9 +206,16 @@ def main(argv: list[str] | None = None) -> int:
             cols = args.columns.split(",") if args.columns else None
             print(json.dumps(export_snapshot(args.lake, args.out, columns=cols)))
         elif args.cmd == "status":
-            from .pipelines.tail import status
+            from .pipelines.tail import serve_status, status
 
-            print(json.dumps(status(args.lake)))
+            if args.serve is not None:
+                srv = serve_status(args.lake, args.serve)
+                print(json.dumps({"serving": f"http://127.0.0.1:{srv.server_port}/status"}))
+                import threading
+
+                threading.Event().wait()  # serve until killed
+            else:
+                print(json.dumps(status(args.lake)))
         elif args.cmd == "verify":
             from .pipelines.verify import gap_scan, lineage_check
 

@@ -85,6 +85,41 @@ def tail(
             time.sleep(poll_interval)
 
 
+def serve_status(lake_dir: str, port: int = 0):
+    """Serve ``status()`` over HTTP — the reference's status-service
+    surface (gRPC+HTTP, `status-service/main.go:235-242`) as a
+    zero-dependency stdlib endpoint.  Returns the live server (already
+    started in a daemon thread) with ``.server_port`` for tests /
+    callers; ``GET /status`` -> JSON, ``GET /health`` -> ok."""
+    import http.server
+    import json as _json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path == "/health":
+                body = b"ok"
+                ctype = "text/plain"
+            elif self.path == "/status":
+                body = _json.dumps(status(lake_dir), default=str).encode()
+                ctype = "application/json"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
 def status(lake_dir: str) -> dict:
     """Progress/lineage snapshot (the GetStatus/GetProcessedTickIntervals
     analog): high watermark, contiguous committed intervals, gaps,

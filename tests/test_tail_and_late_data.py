@@ -131,6 +131,27 @@ def test_force_reapply_refused_after_compaction(ray_session, small_log, lake_dir
     assert rec["metrics"]["src_files"] >= 1
 
 
+def test_serve_status_http(ray_session, small_log, lake_dir):
+    """The status-service HTTP surface analog: GET /status returns the
+    same lineage JSON, /health is ok."""
+    import json
+    import urllib.request
+
+    from go_data_publisher_ray.pipelines.tail import serve_status
+
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(os.path.join(small_log, "events"), lake_dir, stop_after=2)
+    srv = serve_status(lake_dir)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        assert urllib.request.urlopen(f"{base}/health").read() == b"ok"
+        body = json.load(urllib.request.urlopen(f"{base}/status"))
+        assert body["last_committed_epoch"] == 1
+        assert body["num_partitions"] == P
+    finally:
+        srv.shutdown()
+
+
 def test_status_shape(ray_session, small_log, lake_dir):
     bootstrap(os.path.join(small_log, "base"), lake_dir, P)
     apply_log(os.path.join(small_log, "events"), lake_dir, stop_after=2)
