@@ -403,6 +403,13 @@ class RefDeltaWriter(DeltaWriter):
 
     def __call__(self, group: pa.Table) -> pa.Table:  # type: ignore[override]
         part = group.column("part")[0].as_py()
+        if self.crash_marker is not None:
+            try:
+                fd = os.open(self.crash_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)  # first task here dies mid-epoch; retry sees the marker
+            except FileExistsError:
+                pass
         try:
             if part in self.poison_parts:
                 raise ValueError(f"injected poison partition {part}")

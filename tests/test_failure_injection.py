@@ -15,10 +15,20 @@ from go_data_publisher_ray.pipelines.verify import replay_oracle_table, tables_e
 P = 8
 
 
-def test_crash_mid_epoch_task_retried_idempotent(ray_session, small_log, lake_dir, tmp_path):
-    """A DeltaWriter task dies (os._exit) mid-epoch; Ray retries the
-    task, the idempotent rewrite produces identical bytes, and the final
-    commit matches the replay oracle."""
+import pytest
+
+
+@pytest.mark.parametrize("exchange", ["sort", "ref"])
+def test_crash_mid_epoch_task_retried_idempotent(
+    ray_session, small_log, lake_dir, tmp_path, monkeypatch, exchange
+):
+    """A writer task dies (os._exit) mid-epoch — under BOTH the sort
+    exchange (DeltaWriter) and the payload-reference exchange
+    (RefDeltaWriter); Ray retries the task, the idempotent rewrite
+    produces identical bytes, and the final commit matches the replay
+    oracle."""
+    if exchange != "sort":
+        monkeypatch.setenv("GDP_EXCHANGE", exchange)
     events = os.path.join(small_log, "events")
     bootstrap(os.path.join(small_log, "base"), lake_dir, P)
     apply_log(events, lake_dir, stop_after=2)
