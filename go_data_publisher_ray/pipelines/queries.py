@@ -451,6 +451,68 @@ def join_orders_by_region(sf_dir: str):
 
 
 @query(
+    "join_orders_by_region_bucketed",
+    """
+    SELECT r.r_name, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def join_orders_by_region_bucketed(sf_dir: str):
+    """The SHUFFLE-JOIN fallback for `join_orders_by_region`: when the
+    'dimension' side outgrows the driver (customer is per-user — not a
+    broadcastable dimension at 100x, VERDICT r1), both sides
+    hash-partition on the key and join per bucket via the native
+    `Dataset.join` (distributed hash join, nothing on the driver).
+    The small nation->region hop stays a broadcast map; identical
+    result/oracle as the broadcast variant."""
+    import pyarrow.parquet as pq
+
+    # nation+region genuinely tiny: resolve nationkey -> r_name driver-side
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    r_by_reg = dict(
+        zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist())
+    )
+    r_by_nat = {
+        int(nk): r_by_reg[int(rk)]
+        for nk, rk in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+        )
+    }
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def to_region(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = np.empty(len(nk), dtype=object)
+        for k, v in r_by_nat.items():  # 25 nations: tiny loop, then vector mask
+            names[nk == k] = v
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        joined.map_batches(to_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(*_agg(n_orders="count"))
+    )
+
+
+@query(
     "top1_latest_order_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_orderdate
@@ -537,6 +599,50 @@ def anti_join_clicks_no_purchase(sf_dir: str):
         out.groupby(["user_id", "day"])
         .aggregate(*_agg(n="count"))
         .select_columns(["user_id", "day"])
+    )
+
+
+@query(
+    "anti_join_clicks_no_purchase_bucketed",
+    """
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'click')
+    EXCEPT
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase')
+    """,
+)
+def anti_join_clicks_no_purchase_bucketed(sf_dir: str):
+    """The SHUFFLE fallback for the broadcast anti-join: when the
+    filter side outgrows the driver (~10^8 keys, scale note on
+    `anti_join_clicks_no_purchase`), both sides hash-partition on the
+    composite key and the native `Dataset.join(left_anti)` drops
+    matches per bucket — nothing driver-side.  Same oracle."""
+
+    def day_pairs(event_type: str):
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), event_type))
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "day": pc.cast(
+                        pc.floor_temporal(t.column("ts"), unit="day"), pa.date32()
+                    ),
+                }
+            )
+
+        return (
+            ds.map_batches(proj, batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(*_agg(n="count"))
+            .select_columns(["user_id", "day"])
+        )
+
+    return day_pairs("click").join(
+        day_pairs("purchase"),
+        join_type="left_anti",
+        num_partitions=8,
+        on=("user_id", "day"),
     )
 
 
