@@ -209,28 +209,27 @@ def apply_epoch(
     src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
     spec = man.merge_spec
     use_hash_exchange = os.environ.get("GDP_EXCHANGE") == "hash" and salt <= 1
-    if use_hash_exchange:
-        # the Dataset snapshots DataContext at creation, so the scoped
-        # strategy switch must wrap the READ as well as the exchange
-        from ray.data import DataContext
-        from ray.data.context import ShuffleStrategy
 
-        _ctx = DataContext.get_current()
-        _prev_strategy = _ctx.shuffle_strategy
-        _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds = rd.read_parquet(edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir)))
-    ds = ds.map_batches(
-        AddPartitionAndCombine(
-            man.num_partitions, salt=salt, patch_rules=patch_rules, spec=spec
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    if salt > 1:
-        import functools
+    def _normalized():
+        ds = rd.read_parquet(
+            edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir))
+        )
+        ds = ds.map_batches(
+            AddPartitionAndCombine(
+                man.num_partitions, salt=salt, patch_rules=patch_rules, spec=spec
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        if salt > 1:
+            import functools
 
-        salted = functools.partial(collapse_group, spec=spec)
-        ds = ds.groupby(["part", "salt"]).map_groups(salted, batch_format="pyarrow")
+            salted = functools.partial(collapse_group, spec=spec)
+            ds = ds.groupby(["part", "salt"]).map_groups(
+                salted, batch_format="pyarrow"
+            )
+        return ds
+
     fault = fault or {}
     writer_kw = dict(
         crash_marker=fault.get("crash_marker"),
@@ -246,11 +245,21 @@ def apply_epoch(
     if use_hash_exchange:
         # NOTE: HASH_SHUFFLE is scoped to this epoch's dataset —
         # groupby().map_groups hangs under it in ray 2.49, so the
-        # strategy must not leak to other pipelines in the session.
+        # strategy must not leak to other pipelines in the session.  The
+        # Dataset snapshots DataContext at CREATION, so the scoped switch
+        # wraps the read/map construction too — and sits inside the same
+        # try/finally so an exception while BUILDING the pipeline (not
+        # just executing it) cannot leak HASH_SHUFFLE session-wide.
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
         from ..stages.merge import MultiPartDeltaWriter
 
+        _ctx = DataContext.get_current()
+        _prev_strategy = _ctx.shuffle_strategy
         try:
-            stats = ds.repartition(
+            _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            stats = _normalized().repartition(
                 num_blocks=man.num_partitions, keys=["part"]
             ).map_batches(
                 MultiPartDeltaWriter(lake_dir, epoch, **writer_kw),
@@ -276,7 +285,7 @@ def apply_epoch(
         spill_dir = os.path.join(lake_dir, "spill", f"epoch={epoch:06d}")
         _shutil.rmtree(spill_dir, ignore_errors=True)  # orphans from a crash
         os.makedirs(spill_dir, exist_ok=True)
-        light = ds.map_batches(
+        light = _normalized().map_batches(
             PayloadSpill(spill_dir, spec=spec), batch_format="pyarrow"
         )
         stats = light.groupby("part").map_groups(
@@ -292,7 +301,7 @@ def apply_epoch(
         rows = stats.take_all()
         _shutil.rmtree(spill_dir, ignore_errors=True)  # transient shuffle files
     else:
-        stats = ds.groupby("part").map_groups(
+        stats = _normalized().groupby("part").map_groups(
             DeltaWriter(lake_dir, epoch, **writer_kw),
             batch_format="pyarrow",
         )
@@ -331,6 +340,34 @@ def apply_epoch(
     }
 
 
+def sweep_orphan_spill(lake_dir: str, man: Manifest | None = None) -> list[str]:
+    """Startup GC for the ref exchange's transient shuffle files: a
+    driver that crashes mid-``take_all`` leaves ``spill/epoch=E`` behind.
+    An UNcommitted epoch's spill is rebuilt (rmtree'd) when the epoch is
+    retried, but a crash during a ``force=True`` reapply of an already
+    COMMITTED epoch orphans the dir forever — nothing would retry it.
+    Sweep spill dirs whose epoch is committed; returns removed names."""
+    import shutil
+
+    man = man or Manifest(lake_dir)
+    spill_root = os.path.join(lake_dir, "spill")
+    if not os.path.isdir(spill_root):
+        return []
+    done = set(man.committed_epochs())
+    removed = []
+    for name in sorted(os.listdir(spill_root)):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if e in done:
+            shutil.rmtree(os.path.join(spill_root, name), ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def discover_epochs(events_dir: str) -> list[int]:
     out = []
     for name in os.listdir(events_dir):
@@ -359,6 +396,7 @@ def apply_log(
     read amplification (live files per partition stays <= K+1).
     """
     man = Manifest(lake_dir)
+    sweep_orphan_spill(lake_dir, man)
     done = set(man.committed_epochs())
     results = []
     applied = 0

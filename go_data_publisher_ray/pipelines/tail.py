@@ -62,22 +62,31 @@ def tail(
     as a new epoch."""
     results: list[dict] = []
     idle = 0
+    # Epochs whose force-reapply was refused (already compacted).  Their
+    # source-dir metrics never update, so _grown_epochs would re-report
+    # them EVERY poll — without this set the loop hot-spins at 100% CPU,
+    # appends a refusal record per poll, and never reaches max_idle_polls.
+    refused: set[int] = set()
     while True:
         man = Manifest(lake_dir)
         done = set(man.committed_epochs())
         pending = [e for e in discover_epochs(events_dir) if e not in done]
-        grown = _grown_epochs(man, events_dir, done)
-        if pending or grown:
+        grown = [e for e in _grown_epochs(man, events_dir, done) if e not in refused]
+        progressed = False
+        for e in grown:
+            try:
+                r = apply_epoch(events_dir, lake_dir, e, salt=salt, force=True)
+                r["regrown"] = True
+                results.append(r)
+                progressed = True
+            except ValueError as exc:
+                refused.add(e)  # record ONCE; counts as idle thereafter
+                results.append({"epoch": e, "regrown": True, "refused": str(exc)})
+        if pending:
+            results.extend(apply_log(events_dir, lake_dir, salt=salt))
+            progressed = True
+        if progressed:
             idle = 0
-            for e in grown:
-                try:
-                    r = apply_epoch(events_dir, lake_dir, e, salt=salt, force=True)
-                    r["regrown"] = True
-                    results.append(r)
-                except ValueError as exc:
-                    results.append({"epoch": e, "regrown": True, "refused": str(exc)})
-            if pending:
-                results.extend(apply_log(events_dir, lake_dir, salt=salt))
         else:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:

@@ -99,6 +99,21 @@ def test_intervals_apply_matches_monotone_merge(ray_session, intervals_log, lake
     assert (got["to_lsn"].values >= got["from_lsn"].values).all()
 
 
+def test_intervals_distributed_verify(ray_session, intervals_log, lake_dir):
+    """ADVICE r2: verify_partitions must read the entity's MergeSpec from
+    the manifest (key/order/partition columns, no tombstones) instead of
+    hardcoding pages semantics — pre-fix this raised KeyError('url')."""
+    from go_data_publisher_ray.pipelines.verify import verify_partitions
+
+    base_dir, events_dir = intervals_log
+    bootstrap(base_dir, lake_dir, P, merge_spec=INTERVALS_SPEC)
+    apply_log(events_dir, lake_dir)
+    report = verify_partitions(lake_dir, base_dir, events_dir)
+    assert report["mismatched_partitions"] == []
+    assert report["partitions_checked"] == P
+    assert report["verified_rows"] == N_GROUPS
+
+
 def test_intervals_compaction_and_resume(ray_session, intervals_log, lake_dir):
     base_dir, events_dir = intervals_log
     bootstrap(base_dir, lake_dir, P, merge_spec=INTERVALS_SPEC)

@@ -131,6 +131,65 @@ def test_force_reapply_refused_after_compaction(ray_session, small_log, lake_dir
     assert rec["metrics"]["src_files"] >= 1
 
 
+def test_tail_refused_grown_epoch_terminates(ray_session, small_log, lake_dir, tmp_path):
+    """ADVICE r2 high: a grown-but-compacted epoch can never be
+    force-reapplied, and its source metrics never update — tail() must
+    record the refusal ONCE and then go idle (terminate via
+    max_idle_polls), not hot-spin re-reporting it every poll."""
+    import threading
+
+    from go_data_publisher_ray.pipelines.compact import compact
+
+    staged = str(tmp_path / "events")
+    shutil.copytree(os.path.join(small_log, "events"), staged)
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(staged, lake_dir)
+    compact(lake_dir)
+
+    # late file lands in an epoch already folded into the compacted base
+    edir = os.path.join(staged, "epoch=2")
+    src = sorted(f for f in os.listdir(os.path.join(staged, "epoch=3")))[0]
+    shutil.copy(
+        os.path.join(staged, "epoch=3", src), os.path.join(edir, "late-extra.parquet")
+    )
+
+    out: dict = {}
+
+    def run():
+        out["results"] = tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=3)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)  # pre-fix behavior: infinite hot loop, never returns
+    assert not t.is_alive(), "tail() busy-looped on a refused grown epoch"
+    refusals = [r for r in out["results"] if r.get("refused")]
+    assert len(refusals) == 1 and refusals[0]["epoch"] == 2
+
+
+def test_spill_sweep_removes_committed_orphans(ray_session, small_log, lake_dir):
+    """Startup GC: spill dirs for committed epochs (left by a crash
+    during a force reapply) are swept; uncommitted ones are kept for the
+    retry path's own rebuild."""
+    from go_data_publisher_ray.pipelines.apply import sweep_orphan_spill
+
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(events, lake_dir, stop_after=2)
+
+    spill = os.path.join(lake_dir, "spill")
+    os.makedirs(os.path.join(spill, "epoch=000001"))  # committed -> orphan
+    os.makedirs(os.path.join(spill, "epoch=000009"))  # not committed -> keep
+    removed = sweep_orphan_spill(lake_dir)
+    assert removed == ["epoch=000001"]
+    assert not os.path.isdir(os.path.join(spill, "epoch=000001"))
+    assert os.path.isdir(os.path.join(spill, "epoch=000009"))
+
+    # apply_log runs the sweep on entry (resume path)
+    os.makedirs(os.path.join(spill, "epoch=000000"))
+    apply_log(events, lake_dir, stop_after=1)
+    assert not os.path.isdir(os.path.join(spill, "epoch=000000"))
+
+
 def test_serve_status_http(ray_session, small_log, lake_dir):
     """The status-service HTTP surface analog: GET /status returns the
     same lineage JSON, /health is ok."""
