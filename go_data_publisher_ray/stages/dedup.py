@@ -209,15 +209,32 @@ def simhash_chunks(batch: pa.Table) -> pa.Table:
     )
 
 
-def hamming_pairs_from_bucket(group: pa.Table, *, max_hamming: int) -> pa.Table:
+def hamming_pairs_from_bucket(
+    group: pa.Table, *, max_hamming: int, max_bucket: int = 10_000
+) -> pa.Table:
     """map_groups UDF over one (chunk,val) bucket: verified near-dup
-    pairs with popcount(xor) <= max_hamming."""
+    pairs with popcount(xor) <= max_hamming.
+
+    ``max_bucket`` guards the ``np.triu_indices`` blow-up on a
+    degenerate bucket (thousands of identical / near-empty docs sharing
+    one 15-bit chunk value) — the same cap+marker pattern as
+    ``pairs_from_posting``: an oversized bucket emits ONE marker row
+    ``(doc_a=-1, doc_b=<bucket size>, hamming=-1)`` instead of pairs, so
+    callers can filter ``doc_a >= 0`` and surface the truncation."""
     sub = group.select(["doc_id", "simhash"])
     order = np.argsort(sub.column("doc_id").to_numpy(zero_copy_only=False))
     ids = sub.column("doc_id").to_numpy(zero_copy_only=False)[order]
     fps = sub.column("simhash").to_numpy(zero_copy_only=False)[order]
     uniq, first = np.unique(ids, return_index=True)
     ids, fps = uniq, fps[first]
+    if len(ids) > max_bucket:
+        return pa.table(
+            {
+                "doc_a": pa.array([-1], pa.int64()),
+                "doc_b": pa.array([len(ids)], pa.int64()),
+                "hamming": pa.array([-1], pa.int64()),
+            }
+        )
     if len(ids) < 2:
         return pa.table(
             {

@@ -96,6 +96,52 @@ def test_oversized_posting_emits_marker():
     assert (np.asarray(ok.column("doc_a")) >= 0).all()
 
 
+def test_degenerate_simhash_bucket_capped():
+    """VERDICT r2: a degenerate corpus (1k identical docs -> one
+    (chunk,val) bucket) must complete in bounded time with a visible
+    marker instead of going quadratic in np.triu_indices."""
+    import time
+
+    n = 1000
+    g = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "simhash": pa.array(np.full(n, 0x123456789, dtype=np.int64)),
+            "chunk": pa.array(np.zeros(n, dtype=np.int64)),
+            "val": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+    )
+    t0 = time.perf_counter()
+    out = dedup.hamming_pairs_from_bucket(g, max_hamming=3, max_bucket=100)
+    assert time.perf_counter() - t0 < 1.0
+    assert out.to_pylist() == [{"doc_a": -1, "doc_b": n, "hamming": -1}]
+    # under the cap the full pair set comes back
+    ok = dedup.hamming_pairs_from_bucket(g, max_hamming=3, max_bucket=n)
+    assert ok.num_rows == n * (n - 1) // 2
+    assert (np.asarray(ok.column("hamming")) == 0).all()
+
+
+def test_drop_cap_markers_filters_and_logs(caplog):
+    import logging
+
+    from go_data_publisher_ray.pipelines.queries import _drop_cap_markers
+
+    t = pa.table(
+        {
+            "doc_a": pa.array([-1, 3, 5], pa.int64()),
+            "doc_b": pa.array([20_000, 4, 6], pa.int64()),
+        }
+    )
+    with caplog.at_level(logging.WARNING, logger="gdp.dedup"):
+        out = _drop_cap_markers(t)
+    assert out.column("doc_a").to_pylist() == [3, 5]
+    assert "20000" in caplog.text
+    # clean input: no log, no copy semantics surprises
+    caplog.clear()
+    clean = _drop_cap_markers(out)
+    assert clean.num_rows == 2 and not caplog.text
+
+
 def test_ngram_shingles():
     assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
     assert word_ngrams("a b", 3) == set()
