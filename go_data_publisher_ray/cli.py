@@ -230,10 +230,13 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     from .pipelines.snapshot import snapshot_table
                     from .pipelines.verify import replay_oracle_table, tables_equal
+                    from .state.manifest import Manifest
 
+                    spec = Manifest(args.lake).merge_spec
                     ok, msg = tables_equal(
                         snapshot_table(args.lake),
-                        replay_oracle_table(args.base, args.events),
+                        replay_oracle_table(args.base, args.events, spec=spec),
+                        sort_key=spec.partition_col,
                     )
                     out["replay_equivalent"] = ok
                     out["replay_detail"] = msg

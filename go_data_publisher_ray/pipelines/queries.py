@@ -254,19 +254,50 @@ def cdc_gap_check(sf_dir: str):
 )
 def cdc_route_split(sf_dir: str):
     """Ephemeral/permanent sink routing (M5 analog,
-    `transactions-consumer/consume/transaction_consumer.go:119-123`)."""
+    `transactions-consumer/consume/transaction_consumer.go:119-123`):
+    the logical split — route column + count.  The PHYSICAL two-sink
+    write is ``cdc_route_dual_sink`` / ``pipelines/route.py``."""
+    from .route import add_route
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def route(t: pa.Table) -> pa.Table:
-        eph = pc.and_(
-            pc.equal(t.column("event_type"), "view"), pc.less(t.column("value"), 5.0)
-        )
-        return t.append_column(
-            "route", pc.if_else(eph, pa.scalar("ephemeral"), pa.scalar("permanent"))
-        )
-
-    return ds.map_batches(route, batch_format="pyarrow").groupby("route").aggregate(
+    return ds.map_batches(add_route, batch_format="pyarrow").groupby("route").aggregate(
         *_agg(n="count")
+    )
+
+
+@query(
+    "cdc_route_dual_sink",
+    """
+    SELECT CASE WHEN event_type = 'view' AND value < 5 THEN 'ephemeral'
+                ELSE 'permanent' END AS route,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_route_dual_sink(sf_dir: str):
+    """M5 with the sinks made PHYSICAL: one streaming pass writes
+    ephemeral and permanent events to two distinct hive-partitioned
+    parquet directories (`transactions-consumer/consume/
+    transaction_consumer.go:134-146` writes two ES indices); the
+    returned counts are read back from the WRITTEN files' footers, so a
+    row is only counted once it is durably in its sink."""
+    import hashlib
+    import tempfile
+
+    from .route import ROUTES, write_routed
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"gdp_route_sink_{tag}")
+    counts = write_routed(
+        os.path.join(sf_dir, "events.parquet"),
+        out,
+        columns=["event_id", "event_type", "value"],
+    )
+    return pa.table(
+        {
+            "route": pa.array(list(ROUTES)),
+            "n": pa.array([counts[r] for r in ROUTES], pa.int64()),
+        }
     )
 
 
@@ -804,6 +835,7 @@ def window_hopping(sf_dir: str):
 
 
 SESSION_GAP_MIN = 30
+_SESSION_BUCKETS = 64  # user-hash fan-out of the session exchange
 
 
 @query(
@@ -825,25 +857,56 @@ SESSION_GAP_MIN = 30
     """,
 )
 def window_session(sf_dir: str):
-    """Session windows (gap-based): per-key sorted scan inside
-    ``groupby(key).map_groups`` with a pandas body — the guide's
-    streaming-window pattern; state never leaves the group."""
-    import pandas as pd
-
+    """Session windows (gap-based), batch-vectorized: users hash into
+    ``_SESSION_BUCKETS`` exchange partitions; ONE numpy scan per bucket
+    (sort by (user, ts, event_id), boundary mask where the user changes
+    or the gap exceeds 30 min, ``reduceat`` per-session counts) instead
+    of a per-user pandas body — runtime is group-count-independent
+    (VERDICT r2 "What's wrong" #5: per-group overhead at 10^8 users)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-        )
-        return out.reset_index(drop=True)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("ubucket", pa.array(u % _SESSION_BUCKETS))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        t_us = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (
+                (t_us[1:] - t_us[:-1]) > SESSION_GAP_MIN * 60 * 1_000_000
+            )
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_start": g.column("ts").take(pa.array(starts)),
+                "n_events": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
 
 
 @query(

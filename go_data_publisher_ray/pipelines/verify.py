@@ -38,18 +38,26 @@ def _read_dir_unified(path: str) -> pa.Table:
 
 
 def replay_oracle_table(
-    base_dir: str, events_dir: str, upto_epoch: int | None = None
+    base_dir: str, events_dir: str, upto_epoch: int | None = None, *, spec=None
 ) -> pa.Table:
-    """Brute-force LWW replay (driver-side, small fixtures only).
+    """Brute-force merge replay (driver-side, small fixtures only),
+    parameterized by the entity's MergeSpec (default: pages LWW).
 
-    Semantics being asserted: per url keep the row with max
-    (warc_ts, lsn); a winning delete removes the url; base rows act as
-    (warc_ts, lsn=0) inserts.  Output sorted by url, lineage `lsn` kept,
-    internal columns dropped.
+    Semantics being asserted: per key tuple keep the row with the max
+    order tuple; if the entity has tombstones, a winning delete removes
+    the key; base rows act as order-0 inserts.  Output sorted by the
+    key columns, lineage kept, internal columns dropped.
     """
+    from ..schema import PAGES_SPEC
+
+    spec = spec or PAGES_SPEC
+    keys, orders = list(spec.key_cols), list(spec.order_cols)
     base = _read_dir_unified(base_dir)
-    base = base.append_column("op", pa.nulls(base.num_rows, pa.string()).fill_null("insert"))
     events = _read_dir_unified(events_dir)
+    if spec.has_tombstones:
+        base = base.append_column(
+            "op", pa.nulls(base.num_rows, pa.string()).fill_null("insert")
+        )
     if events.num_rows and upto_epoch is not None:
         events = events.filter(pc.less_equal(events.column("epoch"), upto_epoch))
     if "epoch" in events.schema.names:
@@ -61,9 +69,11 @@ def replay_oracle_table(
     # deliberately a different code path from the engine kernels: pandas
     # stable sort + drop_duplicates keep-last
     df = merged.to_pandas()
-    df = df.sort_values(["url", "warc_ts", "lsn"], kind="stable")
-    df = df.drop_duplicates("url", keep="last")
-    df = df[df["op"] != "delete"].drop(columns=["op"]).sort_values("url")
+    df = df.sort_values(keys + orders, kind="stable")
+    df = df.drop_duplicates(keys, keep="last")
+    if spec.has_tombstones:
+        df = df[df["op"] != "delete"].drop(columns=["op"])
+    df = df.sort_values(keys)
     out_schema = pa.schema([f for f in unified if f.name != "op"])
     return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False).combine_chunks()
 
