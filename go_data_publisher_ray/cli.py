@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         default="pages",
         help="merge semantics for the lake (schema.MergeSpec); fixed at creation",
     )
+    b.add_argument(
+        "--shard",
+        default=None,
+        metavar="K/N",
+        help="ingest only partitions with part %% N == K (horizontal "
+        "service sharding; also settable via GDP_SHARD)",
+    )
 
     a = sub.add_parser("apply", help="apply pending epochs (or one epoch)")
     a.add_argument("--events", required=True)
@@ -72,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--epoch", type=int, default=None)
     a.add_argument("--force", action="store_true")
     a.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    a.add_argument("--shard", default=None, metavar="K/N",
+                   help="apply only this key shard (see bootstrap --shard)")
     a.add_argument(
         "--patch",
         default=None,
@@ -150,9 +159,16 @@ def main(argv: list[str] | None = None) -> int:
             from .schema import INTERVALS_SPEC
 
             spec = INTERVALS_SPEC if args.entity == "intervals" else None
+            shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
             print(
                 json.dumps(
-                    bootstrap(args.base, args.lake, args.partitions, merge_spec=spec)
+                    bootstrap(
+                        args.base,
+                        args.lake,
+                        args.partitions,
+                        merge_spec=spec,
+                        shard=shard,
+                    )
                 )
             )
         elif args.cmd == "apply":
@@ -170,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
                 patch_rules = tuple(
                     PatchRule(**r) for r in json.loads(args.patch)
                 )
+            shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
             if args.epoch is not None:
                 out = [
                     apply_epoch(
@@ -179,11 +196,16 @@ def main(argv: list[str] | None = None) -> int:
                         salt=args.salt,
                         force=args.force,
                         patch_rules=patch_rules,
+                        shard=shard,
                     )
                 ]
             else:
                 out = apply_log(
-                    events_dir, args.lake, salt=args.salt, patch_rules=patch_rules
+                    events_dir,
+                    args.lake,
+                    salt=args.salt,
+                    patch_rules=patch_rules,
+                    shard=shard,
                 )
             print(json.dumps(out))
         elif args.cmd == "tail":

@@ -70,7 +70,10 @@ def _read_blocks_for(total_bytes: int) -> int:
     """Choose override_num_blocks for the epoch read: 2 blocks per core
     keeps every core busy through both sides of the sort shuffle
     (measured best at 8 and 32 cpus on 0.5-2.5 GiB epochs), floored so
-    tiny epochs don't get sliced below ~4 MiB blocks."""
+    tiny epochs don't get sliced below ~4 MiB blocks, and raised so no
+    block exceeds ~128 MiB — at low cpu counts a multi-GiB epoch would
+    otherwise land in a handful of near-GiB blocks that pipeline poorly
+    and squeeze the object store."""
     import ray
 
     fixed = os.environ.get("GDP_READ_BLOCKS")
@@ -78,7 +81,8 @@ def _read_blocks_for(total_bytes: int) -> int:
         return int(fixed)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     by_bytes = max(1, total_bytes // (4 << 20))
-    return int(max(1, min(cpus * 2, by_bytes)))
+    block_cap_floor = total_bytes // (128 << 20)
+    return int(max(1, block_cap_floor, min(cpus * 2, by_bytes)))
 
 
 def _dir_bytes(path: str) -> int:
@@ -105,6 +109,19 @@ def _parquet_dir_schema(path: str):
     return schema_mod.unify(*schemas)
 
 
+def _shard_from_env() -> tuple[int, int] | None:
+    """Optional key-space shard ``GDP_SHARD=k/n``: this driver ingests
+    only partitions with ``part % n == k`` — n independent driver
+    processes (each with its own lake, object store and Ray session)
+    cover the full key space, the horizontal-sharding analog of the
+    reference running one consumer service per index shard."""
+    s = os.environ.get("GDP_SHARD")
+    if not s:
+        return None
+    k, n = s.split("/")
+    return (int(k), int(n))
+
+
 def bootstrap(
     base_dir: str,
     lake_dir: str,
@@ -112,6 +129,7 @@ def bootstrap(
     *,
     batch_size: int = 65536,
     merge_spec=None,
+    shard: tuple[int, int] | None = None,
 ) -> dict:
     """Load the initial base table (F1) into the partitioned lake as
     compaction record 0 (``upto_epoch=-1``).  ``merge_spec`` fixes the
@@ -120,6 +138,7 @@ def bootstrap(
     rd = _ray_data()
     man = Manifest(lake_dir, num_partitions, merge_spec=merge_spec)
     spec = man.merge_spec
+    shard = shard if shard is not None else _shard_from_env()
     if man.load_state().base:
         return {"skipped": True}
     t0 = time.perf_counter()
@@ -127,7 +146,7 @@ def bootstrap(
         base_dir, override_num_blocks=_read_blocks_for(_dir_bytes(base_dir))
     )
     ds = ds.map_batches(
-        AddPartitionAndCombine(num_partitions, combine=False, spec=spec),
+        AddPartitionAndCombine(num_partitions, combine=False, spec=spec, shard=shard),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -154,6 +173,7 @@ def apply_epoch(
     force: bool = False,
     patch_rules: tuple = (),
     fault: dict | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> dict:
     """Apply one epoch of change events; idempotent (skip if committed).
 
@@ -208,6 +228,7 @@ def apply_epoch(
     )
     src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
     spec = man.merge_spec
+    shard = shard if shard is not None else _shard_from_env()
     use_hash_exchange = os.environ.get("GDP_EXCHANGE") == "hash" and salt <= 1
 
     def _normalized():
@@ -216,7 +237,11 @@ def apply_epoch(
         )
         ds = ds.map_batches(
             AddPartitionAndCombine(
-                man.num_partitions, salt=salt, patch_rules=patch_rules, spec=spec
+                man.num_partitions,
+                salt=salt,
+                patch_rules=patch_rules,
+                spec=spec,
+                shard=shard,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -386,6 +411,7 @@ def apply_log(
     compact_every: int | None = None,
     compact_min_deltas: int = 2,
     patch_rules: tuple = (),
+    shard: tuple[int, int] | None = None,
 ) -> list[dict]:
     """Serial epoch loop with resume: committed epochs are skipped (the
     watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
@@ -412,6 +438,7 @@ def apply_log(
                 salt=salt,
                 batch_size=batch_size,
                 patch_rules=patch_rules,
+                shard=shard,
             )
         )
         applied += 1

@@ -597,8 +597,10 @@ def anti_join_clicks_no_purchase(sf_dir: str):
     shipped once via ray.put and probed per batch with np.isin.
 
     Scale note: when the filter side outgrows the driver (~10^8 keys),
-    ship a Bloom filter of it instead, or hash-partition both sides on
-    the key and anti-join per bucket in map_groups."""
+    ship a Bloom filter of it instead
+    (`anti_join_clicks_no_purchase_bloom`) or hash-partition both sides
+    (`anti_join_clicks_no_purchase_bucketed`) — all three variants run
+    against the same oracle."""
     import ray
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
@@ -675,6 +677,140 @@ def anti_join_clicks_no_purchase_bucketed(sf_dir: str):
         num_partitions=8,
         on=("user_id", "day"),
     )
+
+
+_BLOOM_BITS_LOG2 = 18  # demo-sized; prod: ~10 bits/key (10^8 keys -> 2^30)
+_BLOOM_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)  # odd multiplicative mixers
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """k=2 bit positions per key (top log2(m) bits of two multiplicative
+    hashes), concatenated."""
+    u = keys.astype(np.uint64)
+    shift = np.uint64(64 - _BLOOM_BITS_LOG2)
+    return np.concatenate(
+        [((u * np.uint64(c)) >> shift).astype(np.int64) for c in _BLOOM_C]
+    )
+
+
+@query(
+    "anti_join_clicks_no_purchase_bloom",
+    """
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'click')
+    EXCEPT
+    (SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase')
+    """,
+)
+def anti_join_clicks_no_purchase_bloom(sf_dir: str):
+    """The MIDDLE path between the broadcast and shuffle anti-joins
+    (the regime the broadcast variant's scale note names): the filter
+    side is summarized as a broadcast BLOOM bitmap (~10 bits/key vs 64+
+    for the exact set), and stays EXACT because the bloom only
+    pre-splits the probe side — definite misses pass straight through
+    (no false negatives by construction), and only the bloom-POSITIVE
+    remainder (true matches + ~1% false positives) goes through the
+    exact distributed `left_anti` join.  The shuffle therefore moves a
+    few percent of the probe side instead of all of it.
+
+    Bitmap build is distributed: batches emit sparse (word, or-ed bits)
+    rows, a word-bucketed groupby OR-reduces them, and the driver
+    assembles <= m/64 words — driver traffic is bounded by the bitmap
+    size, never the key count."""
+    import ray
+
+    m_words = (1 << _BLOOM_BITS_LOG2) >> 6
+
+    def day_pairs(event_type: str):
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), event_type))
+            keys, days = _user_day_keys(t)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "day": pa.array(days * 86_400_000_000)
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.date32()),
+                    "key": pa.array(keys),
+                }
+            )
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    def sparse_words(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"word": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+        pos = _bloom_positions(t.column("key").to_numpy(zero_copy_only=False))
+        word = pos >> 6
+        mask = (np.uint64(1) << (pos & 63).astype(np.uint64)).view(np.int64)
+        order = np.argsort(word)
+        word, mask = word[order], mask[order]
+        starts = np.flatnonzero(np.concatenate([[True], word[1:] != word[:-1]]))
+        return pa.table(
+            {
+                "word": pa.array(word[starts]),
+                "val": pa.array(np.bitwise_or.reduceat(mask, starts)),
+            }
+        )
+
+    def or_one(g: pa.Table) -> pa.Table:
+        vals = g.column("val").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": g.column("word").slice(0, 1),
+                "val": pa.array([np.bitwise_or.reduce(vals)], pa.int64()),
+            }
+        )
+
+    words = (
+        day_pairs("purchase")
+        .map_batches(sparse_words, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(or_one, batch_format="pyarrow")
+        .take_all()
+    )
+    bitmap = np.zeros(m_words, dtype=np.uint64)
+    for r in words:
+        bitmap[r["word"]] |= np.uint64(r["val"])
+    bref = ray.put(bitmap)
+
+    class BloomSplit:
+        def __init__(self):
+            self.bitmap = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("key").to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(keys).reshape(len(_BLOOM_C), len(keys))
+            hit = np.ones(len(keys), dtype=bool)
+            for p in pos:
+                hit &= (
+                    self.bitmap[p >> 6] >> (p & 63).astype(np.uint64)
+                ) & np.uint64(1) > 0
+            return t.drop_columns(["key"]).append_column("maybe", pa.array(hit))
+
+    flagged = (
+        day_pairs("click")
+        .groupby(["user_id", "day", "key"])
+        .aggregate(*_agg(n="count"))
+        .map_batches(BloomSplit, batch_format="pyarrow", concurrency=2)
+        .select_columns(["user_id", "day", "maybe"])
+        .materialize()  # split point: both branches read it once
+    )
+    definite = flagged.filter(expr="maybe == False").select_columns(["user_id", "day"])
+    maybe = flagged.filter(expr="maybe == True").select_columns(["user_id", "day"])
+    purchases = (
+        day_pairs("purchase")
+        .groupby(["user_id", "day"])
+        .aggregate(*_agg(n="count"))
+        .select_columns(["user_id", "day"])
+    )
+    survived = maybe.join(
+        purchases, join_type="left_anti", num_partitions=8, on=("user_id", "day")
+    )
+    return definite.union(survived)
 
 
 @query(

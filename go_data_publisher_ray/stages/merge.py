@@ -126,7 +126,12 @@ class AddPartitionAndCombine:
     - optionally adds ``salt = lsn % S`` for two-level hot-key merge;
     - pre-combines: collapses multiple events per url *within the
       batch* (combiner) so the shuffle moves at most one row per
-      (url, batch) — the partial-aggregation pattern.
+      (url, batch) — the partial-aggregation pattern;
+    - optionally drops rows outside this ingester's key-space shard
+      (``shard=(k, n)`` keeps ``part % n == k``) — horizontal service
+      sharding: n independent drivers each own a disjoint partition
+      subset of the same change log, the analog of the reference
+      running one consumer service per entity/index shard.
     """
 
     def __init__(
@@ -137,6 +142,7 @@ class AddPartitionAndCombine:
         validate: bool = True,
         patch_rules: tuple = (),
         spec: MergeSpec = PAGES_SPEC,
+        shard: tuple[int, int] | None = None,
     ):
         self.num_partitions = num_partitions
         self.salt = salt
@@ -144,6 +150,7 @@ class AddPartitionAndCombine:
         self.validate = validate
         self.patch_rules = patch_rules
         self.spec = spec
+        self.shard = shard
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -171,6 +178,11 @@ class AddPartitionAndCombine:
             batch = batch.append_column("urlhash", pa.array(urlhash))
         else:
             part = partition_for(key0, self.num_partitions)
+        if self.shard is not None:
+            k, n = self.shard
+            keep = (part % n) == k
+            batch = batch.filter(pa.array(keep))
+            part = part[keep]
         batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if self.combine:
             batch = collapse_table(batch, spec)

@@ -43,6 +43,59 @@ def test_replay_equivalence(applied_lake, small_log):
     assert got.column("html").cast("binary").equals(want.column("html").cast("binary"))
 
 
+def test_sharded_ingest_union_equals_full(ray_session, small_log, tmp_path):
+    """Horizontal service sharding (GDP_SHARD analog): two independent
+    drivers, each owning half the key space (part % 2 == k) with its own
+    lake, together reproduce the unsharded final table exactly — the
+    correctness basis of the multi-process node-scaling probe."""
+    import pyarrow as pa
+
+    base = os.path.join(small_log, "base")
+    events = os.path.join(small_log, "events")
+
+    shards = []
+    for k in range(2):
+        lk = str(tmp_path / f"shard{k}")
+        bootstrap(base, lk, P, shard=(k, 2))
+        apply_log(events, lk, shard=(k, 2))
+        shards.append(snapshot_table(lk))
+    # disjoint and complete
+    union = pa.concat_tables(shards)
+    union = union.take(pc.sort_indices(union, sort_keys=[("url", "ascending")]))
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(union, want)
+    assert ok, msg
+    assert 0 < shards[0].num_rows < want.num_rows
+
+
+def test_presharded_log_ingest_union_equals_full(ray_session, small_log, tmp_path):
+    """Broker-side log pre-partitioning (pipelines/shard.py): each
+    driver reads ONLY its shard's epoch dirs — no hash-and-drop of
+    other shards' rows — and the shard lakes still union to the oracle."""
+    import pyarrow as pa
+
+    from go_data_publisher_ray.pipelines.shard import shard_events
+
+    base = os.path.join(small_log, "base")
+    events = os.path.join(small_log, "events")
+    sharded = str(tmp_path / "sharded")
+    info = shard_events(events, sharded, 2, num_partitions=P)
+    assert sum(info["rows_per_shard"].values()) == 10_000  # SMALL_SPEC n_events
+    assert min(info["rows_per_shard"].values()) > 0
+
+    shards = []
+    for k in range(2):
+        lk = str(tmp_path / f"slake{k}")
+        bootstrap(base, lk, P, shard=(k, 2))
+        apply_log(os.path.join(sharded, f"shard={k}"), lk, shard=(k, 2))
+        shards.append(snapshot_table(lk))
+    union = pa.concat_tables(shards)
+    union = union.take(pc.sort_indices(union, sort_keys=[("url", "ascending")]))
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(union, want)
+    assert ok, msg
+
+
 def test_duckdb_oracle_agrees(applied_lake, small_log):
     got = snapshot_table(applied_lake)
     want = duckdb_oracle_table(
