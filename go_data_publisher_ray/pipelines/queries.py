@@ -1704,6 +1704,27 @@ def dedup_cluster(sf_dir: str):
     )
 
 
+@query(
+    "dedup_cluster_keep",
+    "SELECT doc_id, cluster_id, (doc_id = cluster_id)::BIGINT AS keep FROM ("
+    + _cc_sql()
+    + ")",
+)
+def dedup_cluster_keep(sf_dir: str):
+    """The corpus-level dedup DECISION the clustering exists for: keep
+    exactly one representative per near-dup cluster, drop the rest.
+    The representative is the cluster's min doc_id — which IS the
+    converged min-label — so the decision is a zero-shuffle vectorized
+    flag on the clustering output (no extra exchange)."""
+    labels = dedup_cluster(sf_dir)
+
+    def mark(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("doc_id"), t.column("cluster_id"))
+        return t.append_column("keep", pc.cast(keep, pa.int64()))
+
+    return labels.map_batches(mark, batch_format="pyarrow")
+
+
 # ======================================================================
 # Training-data operators: similarity search over `embeddings`
 # ======================================================================
