@@ -604,12 +604,20 @@ def multinode() -> None:
                     )
                 )
             deadline = time.time() + 600
-            while time.time() < deadline:
+            while True:
                 ready = [f for f in os.listdir(barrier) if f.startswith("ready_")]
                 if len(ready) == n_nodes:
                     break
                 if any(p.poll() is not None and p.poll() != 0 for p in procs):
                     raise RuntimeError("shard worker died before barrier")
+                if time.time() >= deadline:
+                    # releasing the barrier anyway would serialize the
+                    # late worker and silently overstate the efficiency
+                    for p in procs:
+                        p.kill()
+                    raise RuntimeError(
+                        f"barrier timeout: {len(ready)}/{n_nodes} workers ready"
+                    )
                 time.sleep(0.05)
             with open(os.path.join(barrier, "go"), "w") as f:
                 f.write("go")

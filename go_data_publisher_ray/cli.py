@@ -82,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--shard", default=None, metavar="K/N",
                    help="apply only this key shard (see bootstrap --shard)")
     a.add_argument(
+        "--retries",
+        type=int,
+        default=0,
+        help="retry a failed epoch up to N times, halving task "
+        "parallelism each time (adaptive shrink on consecutive errors)",
+    )
+    a.add_argument(
         "--patch",
         default=None,
         help=(
@@ -188,11 +195,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
             if args.epoch is not None:
+                from .pipelines.apply import apply_epoch_adaptive
+
                 out = [
-                    apply_epoch(
+                    apply_epoch_adaptive(
                         events_dir,
                         args.lake,
                         args.epoch,
+                        retries=args.retries,
                         salt=args.salt,
                         force=args.force,
                         patch_rules=patch_rules,
@@ -206,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
                     salt=args.salt,
                     patch_rules=patch_rules,
                     shard=shard,
+                    retries=args.retries,
                 )
             print(json.dumps(out))
         elif args.cmd == "tail":
@@ -254,10 +265,18 @@ def main(argv: list[str] | None = None) -> int:
                     from .pipelines.verify import replay_oracle_table, tables_equal
                     from .state.manifest import Manifest
 
-                    spec = Manifest(args.lake).merge_spec
+                    man = Manifest(args.lake)
+                    spec = man.merge_spec
                     ok, msg = tables_equal(
                         snapshot_table(args.lake),
-                        replay_oracle_table(args.base, args.events, spec=spec),
+                        replay_oracle_table(
+                            args.base,
+                            args.events,
+                            spec=spec,
+                            # sharded lake: oracle replays only its key shard
+                            shard=man.shard,
+                            num_partitions=man.num_partitions,
+                        ),
                         sort_key=spec.partition_col,
                     )
                     out["replay_equivalent"] = ok

@@ -81,7 +81,7 @@ def _read_blocks_for(total_bytes: int) -> int:
         return int(fixed)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     by_bytes = max(1, total_bytes // (4 << 20))
-    block_cap_floor = total_bytes // (128 << 20)
+    block_cap_floor = -(-total_bytes // (128 << 20))  # ceil: no block > ~128 MiB
     return int(max(1, block_cap_floor, min(cpus * 2, by_bytes)))
 
 
@@ -122,6 +122,24 @@ def _shard_from_env() -> tuple[int, int] | None:
     return (int(k), int(n))
 
 
+def _resolve_shard(
+    man: Manifest, shard: tuple[int, int] | None
+) -> tuple[int, int] | None:
+    """The lake's persisted shard (lake.json) is authoritative: callers
+    may omit it (it is read back) but may not contradict it — applying
+    shard 1/2 into a lake bootstrapped as 0/2 would silently corrupt the
+    key-space ownership invariant verify relies on."""
+    persisted = man.shard
+    if shard is None:
+        return persisted
+    if persisted is not None and tuple(shard) != persisted:
+        raise ValueError(
+            f"lake {man.lake_dir} is shard {persisted[0]}/{persisted[1]}, "
+            f"got --shard {shard[0]}/{shard[1]}"
+        )
+    return tuple(shard)
+
+
 def bootstrap(
     base_dir: str,
     lake_dir: str,
@@ -136,9 +154,10 @@ def bootstrap(
     entity's merge semantics at creation (default: pages LWW); it is
     persisted in lake.json and every later stage reads it from there."""
     rd = _ray_data()
-    man = Manifest(lake_dir, num_partitions, merge_spec=merge_spec)
-    spec = man.merge_spec
     shard = shard if shard is not None else _shard_from_env()
+    man = Manifest(lake_dir, num_partitions, merge_spec=merge_spec, shard=shard)
+    spec = man.merge_spec
+    shard = _resolve_shard(man, shard)
     if man.load_state().base:
         return {"skipped": True}
     t0 = time.perf_counter()
@@ -174,6 +193,7 @@ def apply_epoch(
     patch_rules: tuple = (),
     fault: dict | None = None,
     shard: tuple[int, int] | None = None,
+    parallelism_scale: float = 1.0,
 ) -> dict:
     """Apply one epoch of change events; idempotent (skip if committed).
 
@@ -228,13 +248,19 @@ def apply_epoch(
     )
     src_bytes = sum(os.path.getsize(os.path.join(edir, f)) for f in src_files)
     spec = man.merge_spec
-    shard = shard if shard is not None else _shard_from_env()
+    shard = _resolve_shard(man, shard if shard is not None else _shard_from_env())
     use_hash_exchange = os.environ.get("GDP_EXCHANGE") == "hash" and salt <= 1
+    fault = fault or {}
+    # test hook for the adaptive-retry path: a mutable countdown that
+    # makes the next N applies fail like a transient job error
+    _times = fault.get("raise_times")
+    if _times and _times[0] > 0:
+        _times[0] -= 1
+        raise RuntimeError("injected transient apply failure (fault.raise_times)")
 
     def _normalized():
-        ds = rd.read_parquet(
-            edir, override_num_blocks=_read_blocks_for(_dir_bytes(edir))
-        )
+        blocks = max(1, int(_read_blocks_for(_dir_bytes(edir)) * parallelism_scale))
+        ds = rd.read_parquet(edir, override_num_blocks=blocks)
         ds = ds.map_batches(
             AddPartitionAndCombine(
                 man.num_partitions,
@@ -255,7 +281,6 @@ def apply_epoch(
             )
         return ds
 
-    fault = fault or {}
     writer_kw = dict(
         crash_marker=fault.get("crash_marker"),
         poison_parts=tuple(fault.get("poison_parts", ())),
@@ -354,6 +379,13 @@ def apply_epoch(
             # skip-and-record: poisoned partitions excluded from this
             # commit, recorded here and under deadletter/
             "deadletter_parts": sorted(e["partition"] for e in errors),
+            # recorded when the adaptive-retry path shrank this epoch's
+            # task width after consecutive errors
+            **(
+                {"parallelism_scale": parallelism_scale}
+                if parallelism_scale != 1.0
+                else {}
+            ),
         },
     )
     return {
@@ -363,6 +395,52 @@ def apply_epoch(
         "sec": sec,
         "deadletter_parts": sorted(e["partition"] for e in errors),
     }
+
+
+def apply_epoch_adaptive(
+    events_dir: str,
+    lake_dir: str,
+    epoch: int,
+    *,
+    retries: int = 2,
+    backoff_sec: float = 0.0,
+    **kw,
+) -> dict:
+    """Adaptive degradation on consecutive errors — the Ray-native
+    analog of the reference shrinking its worker pool after repeated
+    tick failures and growing it back on success
+    (`status-service/sync/tick_processor.go:361-369`): each retry of a
+    failed epoch HALVES the task parallelism (fewer, larger read blocks
+    -> fewer concurrent tasks -> less peak memory/IO pressure, the usual
+    cause of transient batch-job failure) after an exponential-backoff
+    sleep.  A success returns immediately; the caller's next epoch runs
+    at full width again (shrink is per-epoch, recovery is instant, like
+    the reference's pool regrowth).  Config errors (``ValueError``:
+    folded-epoch refusal, shard conflict) are never retried — they
+    cannot succeed at any width.
+    """
+    scale = 1.0
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(backoff_sec * (2 ** (attempt - 1)))
+        try:
+            out = apply_epoch(
+                events_dir, lake_dir, epoch, parallelism_scale=scale, **kw
+            )
+            if attempt:
+                out["attempts"] = attempt + 1
+                out["parallelism_scale"] = scale
+            return out
+        except ValueError:
+            raise
+        except Exception as e:  # noqa: BLE001 — transient job failure
+            last = e
+            scale /= 2
+    raise RuntimeError(
+        f"epoch {epoch} failed after {retries + 1} attempts "
+        f"(final parallelism_scale {scale * 2})"
+    ) from last
 
 
 def sweep_orphan_spill(lake_dir: str, man: Manifest | None = None) -> list[str]:
@@ -412,6 +490,8 @@ def apply_log(
     compact_min_deltas: int = 2,
     patch_rules: tuple = (),
     shard: tuple[int, int] | None = None,
+    retries: int = 0,
+    fault: dict | None = None,
 ) -> list[dict]:
     """Serial epoch loop with resume: committed epochs are skipped (the
     watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
@@ -422,6 +502,9 @@ def apply_log(
     read amplification (live files per partition stays <= K+1).
     """
     man = Manifest(lake_dir)
+    # validate up front even if every epoch turns out committed: a
+    # misconfigured shard should fail loudly, not no-op
+    shard = _resolve_shard(man, shard if shard is not None else _shard_from_env())
     sweep_orphan_spill(lake_dir, man)
     done = set(man.committed_epochs())
     results = []
@@ -431,14 +514,16 @@ def apply_log(
             results.append({"epoch": epoch, "skipped": True})
             continue
         results.append(
-            apply_epoch(
+            apply_epoch_adaptive(
                 events_dir,
                 lake_dir,
                 epoch,
+                retries=retries,
                 salt=salt,
                 batch_size=batch_size,
                 patch_rules=patch_rules,
                 shard=shard,
+                fault=fault,
             )
         )
         applied += 1

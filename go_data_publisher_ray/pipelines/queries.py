@@ -293,10 +293,13 @@ def cdc_route_dual_sink(sf_dir: str):
         out,
         columns=["event_id", "event_type", "value"],
     )
+    # GROUP BY semantics: a sink that received no rows yields no row
+    # (the oracle's GROUP BY omits empty groups).
+    present = [r for r in ROUTES if counts[r] > 0]
     return pa.table(
         {
-            "route": pa.array(list(ROUTES)),
-            "n": pa.array([counts[r] for r in ROUTES], pa.int64()),
+            "route": pa.array(present),
+            "n": pa.array([counts[r] for r in present], pa.int64()),
         }
     )
 
@@ -765,16 +768,29 @@ def anti_join_clicks_no_purchase_bloom(sf_dir: str):
             }
         )
 
-    words = (
+    # ONE scan of the purchase side: distinct (user_id, day) pairs are
+    # materialized once and feed BOTH the bitmap build and the exact
+    # anti-join probe side (blocks stay in the object store).
+    purchase_pairs = (
         day_pairs("purchase")
-        .map_batches(sparse_words, batch_format="pyarrow")
+        .groupby(["user_id", "day", "key"])
+        .aggregate(*_agg(n="count"))
+        .select_columns(["user_id", "day", "key"])
+        .materialize()
+    )
+    words = (
+        purchase_pairs.map_batches(sparse_words, batch_format="pyarrow")
         .groupby("word")
         .map_groups(or_one, batch_format="pyarrow")
         .take_all()
     )
     bitmap = np.zeros(m_words, dtype=np.uint64)
-    for r in words:
-        bitmap[r["word"]] |= np.uint64(r["val"])
+    if words:
+        # vals ride as int64 through Arrow; reinterpret (not convert) the
+        # sign bit back to uint64 — np.uint64(negative) raises on NumPy 2.
+        widx = np.array([r["word"] for r in words], dtype=np.int64)
+        vals = np.array([r["val"] for r in words], dtype=np.int64).view(np.uint64)
+        bitmap[widx] |= vals  # groupby guarantees unique words
     bref = ray.put(bitmap)
 
     class BloomSplit:
@@ -801,12 +817,7 @@ def anti_join_clicks_no_purchase_bloom(sf_dir: str):
     )
     definite = flagged.filter(expr="maybe == False").select_columns(["user_id", "day"])
     maybe = flagged.filter(expr="maybe == True").select_columns(["user_id", "day"])
-    purchases = (
-        day_pairs("purchase")
-        .groupby(["user_id", "day"])
-        .aggregate(*_agg(n="count"))
-        .select_columns(["user_id", "day"])
-    )
+    purchases = purchase_pairs.select_columns(["user_id", "day"])
     survived = maybe.join(
         purchases, join_type="left_anti", num_partitions=8, on=("user_id", "day")
     )

@@ -38,7 +38,13 @@ def _read_dir_unified(path: str) -> pa.Table:
 
 
 def replay_oracle_table(
-    base_dir: str, events_dir: str, upto_epoch: int | None = None, *, spec=None
+    base_dir: str,
+    events_dir: str,
+    upto_epoch: int | None = None,
+    *,
+    spec=None,
+    shard: tuple[int, int] | None = None,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     """Brute-force merge replay (driver-side, small fixtures only),
     parameterized by the entity's MergeSpec (default: pages LWW).
@@ -47,6 +53,11 @@ def replay_oracle_table(
     order tuple; if the entity has tombstones, a winning delete removes
     the key; base rows act as order-0 inserts.  Output sorted by the
     key columns, lineage kept, internal columns dropped.
+
+    ``shard=(k, n)`` (with ``num_partitions``) restricts the oracle to
+    the key shard a sharded lake owns (``part % n == k``, same hash as
+    apply) so a shard-k lake verifies against the shard-k slice of the
+    full source log.
     """
     from ..schema import PAGES_SPEC
 
@@ -54,6 +65,20 @@ def replay_oracle_table(
     keys, orders = list(spec.key_cols), list(spec.order_cols)
     base = _read_dir_unified(base_dir)
     events = _read_dir_unified(events_dir)
+    if shard is not None:
+        from ..functions.hashing import partition_for
+
+        if num_partitions is None:
+            raise ValueError("shard filter needs num_partitions")
+        k, n = shard
+
+        def _owned(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            part = partition_for(t.column(spec.partition_col), num_partitions)
+            return t.filter(pa.array(part % n == k))
+
+        base, events = _owned(base), _owned(events)
     if spec.has_tombstones:
         base = base.append_column(
             "op", pa.nulls(base.num_rows, pa.string()).fill_null("insert")
@@ -246,6 +271,9 @@ def verify_partitions(
     order_cols = list(mspec.order_cols)
     part_col = mspec.partition_col
     has_tombstones = mspec.has_tombstones
+    # a sharded lake only owns part % n == k — verify exactly that slice
+    # of the source (same predicate apply used), not the full key space
+    shard = man.shard
 
     items, lake_schema = _snapshot_items(man)
     part_specs = {}  # partition -> lake file-spec payload (O(P), tiny)
@@ -295,7 +323,10 @@ def verify_partitions(
             )
         batch = schema_mod.conform(batch, sch)
         part = partition_for(batch.column(part_col), num_partitions)
-        return batch.append_column("part", pa.array(part, type=pa.int32()))
+        batch = batch.append_column("part", pa.array(part, type=pa.int32()))
+        if shard is not None:
+            batch = batch.filter(pa.array(part % shard[1] == shard[0]))
+        return batch
 
     def verify_one(group: pa.Table) -> pa.Table:
         from ..stages.merge import keep_last_by, merge_partition_files
@@ -370,6 +401,8 @@ def verify_partitions(
     for part in range(num_partitions):
         if part in seen:
             continue
+        if shard is not None and part % shard[1] != shard[0]:
+            continue  # not this lake's shard: nothing to verify
         ck = man.read_checkpoint(part)
         results.append(
             {
@@ -387,6 +420,8 @@ def verify_partitions(
         "mismatched_partitions": bad,
         "upto_epoch": upto,
     }
+    if shard is not None:
+        report["shard"] = f"{shard[0]}/{shard[1]}"
     if record_deadletter and bad:
         dl = os.path.join(lake_dir, "deadletter")
         os.makedirs(dl, exist_ok=True)

@@ -114,6 +114,7 @@ class Manifest:
         lake_dir: str,
         num_partitions: int | None = None,
         merge_spec=None,
+        shard: tuple[int, int] | None = None,
     ):
         self.lake_dir = lake_dir
         self.manifest_dir = os.path.join(lake_dir, "manifest")
@@ -133,6 +134,11 @@ class Manifest:
             self.meta = {"num_partitions": num_partitions, "format": "gdp-ray-lake-v1"}
             if merge_spec is not None:
                 self.meta["merge_spec"] = merge_spec.to_dict()
+            if shard is not None:
+                # the lake's key-space shard (part % n == k) is part of its
+                # identity: every later apply/verify must use the same one,
+                # so it is fixed at creation like merge_spec
+                self.meta["shard"] = [int(shard[0]), int(shard[1])]
             atomic_write_json(meta_path, self.meta)
 
     @property
@@ -148,6 +154,14 @@ class Manifest:
         if "merge_spec" in self.meta:
             return MergeSpec.from_dict(self.meta["merge_spec"])
         return PAGES_SPEC
+
+    @property
+    def shard(self) -> tuple[int, int] | None:
+        """Key-space shard ``(k, n)`` this lake owns (``part % n == k``),
+        or None for an unsharded lake.  Recorded at bootstrap so apply
+        and verify agree on which keys belong here."""
+        s = self.meta.get("shard")
+        return (int(s[0]), int(s[1])) if s else None
 
     # ------------------------------------------------------------------
     def _epoch_path(self, epoch: int) -> str:

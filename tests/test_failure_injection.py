@@ -79,3 +79,40 @@ def test_poison_partition_deadlettered_then_healed(ray_session, small_log, lake_
     want = replay_oracle_table(os.path.join(small_log, "base"), events)
     ok, msg = tables_equal(got, want)
     assert ok, msg
+
+
+def test_adaptive_shrink_on_consecutive_errors(ray_session, small_log, lake_dir):
+    """Adaptive degradation (`tick_processor.go:361-369` analog): two
+    consecutive transient failures of an epoch shrink task parallelism
+    to 1/4 width, the third attempt succeeds, the shrink is recorded in
+    the result AND the manifest metrics, the NEXT epoch runs at full
+    width again, and the final table still equals the replay oracle."""
+    from go_data_publisher_ray.pipelines.apply import apply_epoch_adaptive
+    from go_data_publisher_ray.state.manifest import Manifest
+
+    events = os.path.join(small_log, "events")
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+
+    fault = {"raise_times": [2]}
+    results = apply_log(events, lake_dir, retries=2, fault=fault)
+    assert fault["raise_times"] == [0], "fault never fired"
+    shrunk = [r for r in results if "attempts" in r]
+    assert len(shrunk) == 1  # only epoch 0 hit the injected errors
+    assert shrunk[0]["attempts"] == 3
+    assert shrunk[0]["parallelism_scale"] == 0.25
+    # later epochs ran clean at full width
+    man = Manifest(lake_dir)
+    assert man.epoch_record(0)["metrics"]["parallelism_scale"] == 0.25
+    assert "parallelism_scale" not in man.epoch_record(1)["metrics"]
+
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(os.path.join(small_log, "base"), events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+    # retries exhausted -> the final error propagates with context
+    fault = {"raise_times": [99]}
+    with pytest.raises(RuntimeError, match="failed after 2 attempts"):
+        apply_epoch_adaptive(
+            events, lake_dir, 0, retries=1, fault=fault, force=True
+        )

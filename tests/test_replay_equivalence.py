@@ -68,6 +68,57 @@ def test_sharded_ingest_union_equals_full(ray_session, small_log, tmp_path):
     assert 0 < shards[0].num_rows < want.num_rows
 
 
+def test_sharded_lake_verifies(ray_session, small_log, tmp_path):
+    """A sharded lake must be VERIFIABLE: the shard recorded at
+    bootstrap (lake.json) makes both replay-verification paths compare
+    against the shard's slice of the source, not the full key space —
+    a healthy sharded deployment must not report false corruption."""
+    from go_data_publisher_ray.pipelines.verify import verify_partitions
+    from go_data_publisher_ray.state.manifest import Manifest
+
+    base = os.path.join(small_log, "base")
+    events = os.path.join(small_log, "events")
+    lk = str(tmp_path / "shard0")
+    bootstrap(base, lk, P, shard=(0, 2))
+    # apply WITHOUT an explicit shard: resolved from lake.json
+    apply_log(events, lk)
+    man = Manifest(lk)
+    assert man.shard == (0, 2)
+
+    # driver-side replay oracle, shard-filtered
+    got = snapshot_table(lk)
+    want = replay_oracle_table(base, events, shard=(0, 2), num_partitions=P)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    assert 0 < got.num_rows
+
+    # distributed per-partition audit: only owned partitions checked
+    rep = verify_partitions(lk, base, events)
+    assert rep["mismatched_partitions"] == []
+    assert rep["shard"] == "0/2"
+    assert rep["partitions_checked"] == P // 2
+
+    # conflicting explicit shard is refused
+    with pytest.raises(ValueError, match="shard"):
+        apply_log(events, lk, shard=(1, 2))
+
+    # full CLI verify surface on the sharded lake (fresh process: the
+    # in-process CLI would shut down the session Ray fixture)
+    import json as _json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "go_data_publisher_ray.cli", "--num-cpus", "4",
+         "verify", "--lake", lk, "--base", base, "--events", events],
+        capture_output=True, text=True, cwd="/root/repo",
+        env=dict(os.environ, RAY_ADDRESS="local"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["replay_equivalent"] is True, out
+
+
 def test_presharded_log_ingest_union_equals_full(ray_session, small_log, tmp_path):
     """Broker-side log pre-partitioning (pipelines/shard.py): each
     driver reads ONLY its shard's epoch dirs — no hash-and-drop of
