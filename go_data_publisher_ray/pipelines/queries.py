@@ -577,6 +577,63 @@ def top1_latest_order_per_customer(sf_dir: str):
     )
 
 
+def _topk_per_type(t: pa.Table, k: int) -> pa.Table:
+    """Vectorized top-k rows per event_type within one table: sort by
+    (type, -n, user_id), keep the first k of each type run."""
+    if t.num_rows == 0:
+        return t
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    codes = np.unique(
+        t.column("event_type").to_numpy(zero_copy_only=False), return_inverse=True
+    )[1]
+    order = np.lexsort((uid, -n, codes))
+    codes_sorted = codes[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes_sorted[1:] != codes_sorted[:-1]])
+    )
+    lengths = np.diff(np.concatenate([starts, [len(order)]]))
+    pos_in_run = np.arange(len(order)) - np.repeat(starts, lengths)
+    return t.take(pa.array(order[pos_in_run < k]))
+
+
+@query(
+    "topk_active_users_per_type",
+    """
+    SELECT event_type, user_id, n FROM (
+      SELECT event_type, user_id, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY event_type, user_id)
+    WHERE rk <= 3
+    """,
+)
+def topk_active_users_per_type(sf_dir: str):
+    """Top-k per group (the k>1 generalization of O2; deterministic
+    integer ordering with user_id tie-break).
+
+    Shape: count aggregate, then a per-BATCH partial top-k combiner
+    cuts each block to <= k rows per type BEFORE the per-type groupby —
+    so the final (skewed: one group per event type) exchange moves
+    O(blocks x k x types) rows, not every distinct (type, user) pair.
+    That pre-cut is what keeps the hot-group shuffle bounded at 10^9
+    users."""
+    K = 3
+    import functools
+
+    cut = functools.partial(_topk_per_type, k=K)
+    counts = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(*_agg(n="count"))
+    )
+    return (
+        counts.map_batches(cut, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(cut, batch_format="pyarrow")
+    )
+
+
 def _user_day_keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(user_id, epoch-day) composite key packed into one int64."""
     uid = t.column("user_id").to_numpy(zero_copy_only=False)
@@ -822,6 +879,188 @@ def anti_join_clicks_no_purchase_bloom(sf_dir: str):
         purchases, join_type="left_anti", num_partitions=8, on=("user_id", "day")
     )
     return definite.union(survived)
+
+
+@query(
+    "join_asof_click_before_purchase",
+    """
+    SELECT purchase_id, user_id, click_id FROM (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def join_asof_click_before_purchase(sf_dir: str):
+    """AS-OF JOIN (the temporal lookup the Dataset API lacks, built by
+    composition): for each purchase, the latest click by the same user
+    at or before it — the epoch-for-tick temporal lookup generalized
+    (`status-service/sync/tick_processor.go:145-170` resolves each tick
+    against the interval that covers it).
+
+    Shape: ONE hash exchange on the join key co-locates both sides,
+    then each partition runs a vectorized backward merge
+    (``pandas.merge_asof``: linear two-pointer over the two ts-sorted
+    sides, C kernel, no per-user Python).  Ties on click ts break by
+    max event_id (right side sorted (ts, event_id), merge takes the
+    last qualifying row) — the SQL twin's deterministic order.
+    Partitioning assumption: rows for one user fit one partition's
+    group (same invariant as every keyed exchange in the engine)."""
+    import pandas as pd
+
+    P = 16
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "click"]))
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(uid % P))
+
+    def asof(df: "pd.DataFrame") -> "pd.DataFrame":
+        left = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        right = (
+            df[df["event_type"] == "click"]
+            .sort_values(["ts", "event_id"], kind="stable")
+            .rename(columns={"event_id": "click_id"})
+        )
+        out = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["click_id", "user_id", "ts"]],
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "purchase_id": out["event_id"],
+                "user_id": out["user_id"],
+                "click_id": out["click_id"].astype("Int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+@query(
+    "range_join_incident_windows",
+    """
+    WITH err_days AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events
+      WHERE event_type = 'error' GROUP BY 1),
+    hot AS (
+      SELECT day FROM err_days
+      WHERE n > (SELECT 1.0 * sum(n) / count(*) FROM err_days)),
+    runs AS (
+      SELECT min(day) AS window_start,
+             max(day) + INTERVAL 1 DAY AS window_end
+      FROM (SELECT day,
+                   day - row_number() OVER (ORDER BY day) * INTERVAL 1 DAY AS grp
+            FROM hot)
+      GROUP BY grp)
+    SELECT r.window_start, r.window_end, count(*) AS n_events
+    FROM events e JOIN runs r
+      ON e.ts >= r.window_start AND e.ts < r.window_end
+    GROUP BY 1, 2
+    """,
+)
+def range_join_incident_windows(sf_dir: str):
+    """RANGE JOIN against derived variable-length intervals (the
+    interval-containment lookup of
+    `status-service/sync/tick_processor.go:145-170`, here as a
+    training-data op): days with above-average error counts are merged
+    into maximal incident windows (gaps-and-islands), then every event
+    is range-joined to its covering window and counted.
+
+    Shape: the build side collapses to O(days) rows via a pre-counted
+    groupby (tiny at any scale — one row per calendar day), islands
+    merge driver-side in numpy, and the probe is a BROADCAST range
+    join: sorted window bounds ship once via ``ray.put``, each batch
+    resolves membership with one ``np.searchsorted`` + bound check and
+    emits per-window partial counts — no all-to-all exchange anywhere.
+    Partitioning assumption: windows are non-overlapping and sorted
+    (guaranteed by construction), so searchsorted containment is exact.
+    """
+    import ray
+
+    DAY_US = 86_400_000_000
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def err_days(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": (ts // DAY_US) * DAY_US})
+
+    day_counts = (
+        ds.map_batches(err_days, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*_agg(n="count"))
+        .take_all()  # O(calendar days): tiny at any data scale
+    )
+    out_schema = pa.schema(
+        [
+            ("window_start", pa.timestamp("us")),
+            ("window_end", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+        ]
+    )
+    if not day_counts:
+        return pa.Table.from_pylist([], schema=out_schema)
+    days = np.array(sorted(r["day"] for r in day_counts), dtype=np.int64)
+    ns = np.array(
+        [n for _, n in sorted((r["day"], r["n"]) for r in day_counts)], dtype=np.int64
+    )
+    hot = days[ns > (1.0 * ns.sum() / len(ns))]
+    if not len(hot):
+        return pa.Table.from_pylist([], schema=out_schema)
+    # gaps-and-islands: a new run starts where the day gap exceeds 1
+    starts_idx = np.flatnonzero(np.concatenate([[True], np.diff(hot) > DAY_US]))
+    ends_idx = np.concatenate([starts_idx[1:], [len(hot)]]) - 1
+    w_start = hot[starts_idx]
+    w_end = hot[ends_idx] + DAY_US  # half-open [start, end)
+    bounds_ref = ray.put({"starts": w_start, "ends": w_end})
+
+    class ProbeWindows:
+        def __init__(self):
+            b = ray.get(bounds_ref)
+            self.starts, self.ends = b["starts"], b["ends"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.starts, ts, side="right") - 1
+            ok = (idx >= 0) & (ts < self.ends[np.maximum(idx, 0)])
+            counts = np.bincount(idx[ok], minlength=len(self.starts))
+            nz = np.flatnonzero(counts)
+            return pa.table({"win": nz, "n": counts[nz]})
+
+    sums = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(ProbeWindows, batch_format="pyarrow", concurrency=2)
+        .groupby("win")
+        .aggregate(*_agg(n_events=("sum", "n")))
+        .take_all()  # O(windows)
+    )
+    by_win = {r["win"]: r["n_events"] for r in sums}
+    keep = [w for w in range(len(w_start)) if by_win.get(w)]
+    return pa.table(
+        {
+            "window_start": pa.array(w_start[keep]).cast(pa.timestamp("us")),
+            "window_end": pa.array(w_end[keep]).cast(pa.timestamp("us")),
+            "n_events": pa.array([by_win[w] for w in keep], pa.int64()),
+        }
+    )
 
 
 @query(
@@ -1096,6 +1335,46 @@ def sample_systematic(sf_dir: str):
         return t.filter(pa.array(ids % 10 == 0))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_RESERVOIR_K = 64
+
+
+@query(
+    "sample_reservoir",
+    f"""
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir(sf_dir: str):
+    """Deterministic reservoir sampling via hash priority: the k docs
+    with the smallest md5(doc_id) — a uniform-without-replacement
+    sample that is reproducible across engines AND across re-runs on
+    grown data (a doc's priority never changes, so the reservoir is
+    stable under appends — the property streaming corpus subsampling
+    needs).
+
+    Shape: each batch keeps only its k smallest priorities (driver and
+    shuffle never see more than k rows per block), then one tiny sort
+    + limit merges the per-block winners.  No full-data sort."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = md5_hex_array(ids.astype(str))
+        keep = np.argsort(pri, kind="stable")[:_RESERVOIR_K]
+        return pa.table(
+            {"doc_id": pa.array(ids[keep]), "pri": pa.array(pri[keep], pa.string())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["pri", "doc_id"])
+        .limit(_RESERVOIR_K)
+        .select_columns(["doc_id"])
+    )
 
 
 # ======================================================================
