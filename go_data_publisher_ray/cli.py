@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lake", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--columns", default=None)
+    s.add_argument(
+        "--upto-epoch",
+        type=int,
+        default=None,
+        help="time-travel: export the state as of this committed epoch",
+    )
 
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
@@ -237,7 +243,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.snapshot import export_snapshot
 
             cols = args.columns.split(",") if args.columns else None
-            print(json.dumps(export_snapshot(args.lake, args.out, columns=cols)))
+            print(
+                json.dumps(
+                    export_snapshot(
+                        args.lake, args.out, columns=cols, upto_epoch=args.upto_epoch
+                    )
+                )
+            )
         elif args.cmd == "status":
             from .pipelines.tail import serve_status, status
 

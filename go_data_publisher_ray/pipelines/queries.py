@@ -2528,6 +2528,61 @@ def _flagship_sql() -> str:
     """
 
 
+def _time_travel_sql() -> str:
+    """Flagship replay truncated at epoch 1 — the DuckDB twin of the
+    manifest-log time-travel read (epoch dirs are hive-partitioned, so
+    ``epoch`` is a scan column to filter on)."""
+    fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
+    return f"""
+    WITH src AS (
+      SELECT url, warc_ts, html, text, lang, lsn, 'insert' AS op
+      FROM parquet_scan('{fix}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT * EXCLUDE (epoch)
+      FROM parquet_scan('{fix}/events/epoch=*/*.parquet', union_by_name=true)
+      WHERE epoch <= 1)
+    SELECT url, warc_ts, lsn, lang, text, md5(lower(hex(html))) AS html_md5 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM src)
+    WHERE rn = 1 AND op <> 'delete'
+    """
+
+
+@query("cdc_time_travel", _time_travel_sql())
+def time_travel_snapshot(sf_dir: str):
+    """TIME TRAVEL: read the flagship lake AS OF epoch 1 (half the log)
+    after ALL four epochs are applied — deltas beyond the as-of epoch
+    are excluded by the manifest, not re-applied, so this is a pure
+    metadata operation (the snapshot-isolation read of a lakehouse
+    manifest log; the reference's nearest analog is re-serving an older
+    tick range from ES by timestamp filter,
+    status-service/sync/tick_processor.go:203-334)."""
+    from ..functions.hashing import md5_hex_bytes_array
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot
+
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "lsn": t.column("lsn"),
+                "lang": t.column("lang"),
+                "text": t.column("text"),
+                "html_md5": pa.array(md5_hex_bytes_array(t.column("html"))),
+            }
+        )
+
+    return snapshot(lake, upto_epoch=1).map_batches(project, batch_format="pyarrow")
+
+
 @query("cdc_apply_snapshot", _flagship_sql())
 def flagship_snapshot(sf_dir: str):
     """End-to-end CDC apply on a deterministic synthetic pages+events

@@ -19,9 +19,21 @@ from ..stages.merge import merge_partition_files, strip_internal
 from ..state.manifest import FileEntry, Manifest
 
 
-def _snapshot_items(man: Manifest) -> tuple[list[dict], pa.Schema]:
+def _snapshot_items(
+    man: Manifest, upto_epoch: int | None = None
+) -> tuple[list[dict], pa.Schema]:
     state = man.load_state()
-    schema = state.schema if state.schema is not None else pa.schema([])
+    if upto_epoch is None:
+        schema = state.schema if state.schema is not None else pa.schema([])
+    else:
+        # TIME TRAVEL: the as-of schema is the cumulative unified schema
+        # the manifest recorded when that epoch committed — so a column
+        # added later does not appear in the historical view
+        if not man.has_epoch(upto_epoch):
+            raise ValueError(f"epoch {upto_epoch} is not committed")
+        schema = schema_mod.schema_from_json(
+            man.epoch_record(upto_epoch)["schema"]
+        )
     if (
         man.merge_spec.has_tombstones
         and "op" not in schema.names
@@ -30,7 +42,7 @@ def _snapshot_items(man: Manifest) -> tuple[list[dict], pa.Schema]:
         schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
     items = []
     for part in range(man.num_partitions):
-        base, deltas = state.live_files(part)
+        base, deltas = state.live_files(part, upto_epoch)
         if base is None and not deltas:
             continue
         items.append(
@@ -96,13 +108,19 @@ def snapshot(
     *,
     columns: list[str] | None = None,
     keep_lineage: bool = True,
+    upto_epoch: int | None = None,
 ):
-    """Return a ``ray.data.Dataset`` of the lake's current merged state,
-    one merge task per partition."""
+    """Return a ``ray.data.Dataset`` of the lake's merged state — the
+    CURRENT state, or (``upto_epoch=E``) the TIME-TRAVEL view exactly as
+    it stood when epoch E committed: deltas beyond E are excluded and
+    the schema is the one recorded in E's manifest entry.  Travel is
+    bounded by the compaction horizon (folded epochs raise) — the
+    manifest-log lakehouse analog of snapshot-isolation reads on an
+    older table version."""
     import ray.data as rd
 
     man = Manifest(lake_dir)
-    items, schema = _snapshot_items(man)
+    items, schema = _snapshot_items(man, upto_epoch)
     if not items:
         return rd.from_arrow(schema.empty_table())
     fn = make_partition_merger(
@@ -116,12 +134,17 @@ def snapshot(
 
 
 def export_snapshot(
-    lake_dir: str, out_dir: str, *, columns: list[str] | None = None
+    lake_dir: str,
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    upto_epoch: int | None = None,
 ) -> dict:
-    """Write the merged current state as a parquet directory (streaming,
-    one file per partition-merge block) — the bulk-export sink a
-    downstream consumer of the lake would read."""
-    ds = snapshot(lake_dir, columns=columns, keep_lineage=True)
+    """Write the merged current state (or the ``upto_epoch`` time-travel
+    view) as a parquet directory (streaming, one file per
+    partition-merge block) — the bulk-export sink a downstream consumer
+    of the lake would read."""
+    ds = snapshot(lake_dir, columns=columns, keep_lineage=True, upto_epoch=upto_epoch)
     ds.write_parquet(out_dir)
     import pyarrow.parquet as pq
 

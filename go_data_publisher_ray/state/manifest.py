@@ -95,9 +95,25 @@ class LakeState:
     base_upto_epoch: dict[int, int] = field(default_factory=dict)
     deltas: dict[int, list[tuple[int, FileEntry]]] = field(default_factory=dict)
 
-    def live_files(self, part: int) -> tuple[FileEntry | None, list[FileEntry]]:
-        upto = self.base_upto_epoch.get(part, -1)
-        live = [fe for (e, fe) in sorted(self.deltas.get(part, [])) if e > upto]
+    def live_files(
+        self, part: int, upto_epoch: int | None = None
+    ) -> tuple[FileEntry | None, list[FileEntry]]:
+        """Base + live deltas for a partition; ``upto_epoch`` gives the
+        TIME-TRAVEL view as of that committed epoch (deltas beyond it
+        excluded).  Travel behind the compaction horizon is impossible —
+        those deltas were folded into the base — and raises."""
+        base_upto = self.base_upto_epoch.get(part, -1)
+        if upto_epoch is not None and base_upto > upto_epoch:
+            raise ValueError(
+                f"cannot time-travel to epoch {upto_epoch}: partition {part}'s "
+                f"base already folds epochs up to {base_upto} (compaction is "
+                f"the retention horizon)"
+            )
+        live = [
+            fe
+            for (e, fe) in sorted(self.deltas.get(part, []))
+            if e > base_upto and (upto_epoch is None or e <= upto_epoch)
+        ]
         return self.base.get(part), live
 
     def last_lsn(self, part: int) -> int:
