@@ -119,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
         help="time-travel: export the state as of this committed epoch",
     )
 
+    df = sub.add_parser(
+        "diff", help="changefeed between two committed epochs (added/changed/deleted)"
+    )
+    df.add_argument("--lake", required=True)
+    df.add_argument("--from-epoch", type=int, required=True)
+    df.add_argument("--to-epoch", type=int, required=True)
+    df.add_argument("--out", default=None, help="also write the change rows as parquet")
+
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
     st.add_argument(
@@ -248,6 +256,27 @@ def main(argv: list[str] | None = None) -> int:
                     export_snapshot(
                         args.lake, args.out, columns=cols, upto_epoch=args.upto_epoch
                     )
+                )
+            )
+        elif args.cmd == "diff":
+            from .pipelines.snapshot import snapshot_diff
+
+            ds = snapshot_diff(args.lake, args.from_epoch, args.to_epoch)
+            if args.out:
+                ds.write_parquet(args.out)
+                ds = __import__("ray").data.read_parquet(args.out)
+            counts = {
+                r["change"]: r["count()"]
+                for r in ds.groupby("change").count().take_all()
+            }
+            print(
+                json.dumps(
+                    {
+                        "from_epoch": args.from_epoch,
+                        "to_epoch": args.to_epoch,
+                        "changes": counts,
+                        "out": args.out,
+                    }
                 )
             )
         elif args.cmd == "status":

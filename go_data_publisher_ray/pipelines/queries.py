@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as textfn
-from ..functions.hashing import md5_hex_array
+from ..functions.hashing import md5_hex_array, md5_int64_array, partition_for
 from ..stages import ann as ann_stage
 from ..stages import dedup as dedup_stage
 from ..stages.merge import keep_last_by
@@ -2581,6 +2581,279 @@ def time_travel_snapshot(sf_dir: str):
         )
 
     return snapshot(lake, upto_epoch=1).map_batches(project, batch_format="pyarrow")
+
+
+def _truncated_state_cte(alias: str, upto: int) -> str:
+    """CTE pair: the flagship log replayed up to (and incl.) an epoch,
+    collapsed to the LWW winner per url — the SQL twin of one
+    time-travel endpoint."""
+    fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
+    return f"""
+    src_{alias} AS (
+      SELECT url, warc_ts, lsn, 'insert' AS op
+      FROM parquet_scan('{fix}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT url, warc_ts, lsn, op
+      FROM parquet_scan('{fix}/events/epoch=*/*.parquet', union_by_name=true)
+      WHERE epoch <= {upto}),
+    {alias} AS (
+      SELECT url, warc_ts, lsn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+        FROM src_{alias})
+      WHERE rn = 1 AND op <> 'delete')"""
+
+
+_DIFF_FROM, _DIFF_TO = 1, 3
+
+
+def _epoch_diff_sql() -> str:
+    return f"""
+    WITH {_truncated_state_cte('a', _DIFF_FROM)},
+         {_truncated_state_cte('b', _DIFF_TO)}
+    SELECT coalesce(a.url, b.url) AS url,
+           CASE WHEN a.url IS NULL THEN 'added'
+                WHEN b.url IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change,
+           a.warc_ts AS old_warc_ts, a.lsn AS old_lsn,
+           b.warc_ts AS new_warc_ts, b.lsn AS new_lsn
+    FROM a FULL JOIN b ON a.url = b.url
+    WHERE a.url IS NULL OR b.url IS NULL
+       OR a.warc_ts <> b.warc_ts OR a.lsn <> b.lsn
+    """
+
+
+@query("cdc_epoch_diff", _epoch_diff_sql())
+def epoch_diff_changefeed(sf_dir: str):
+    """CHANGEFEED between two committed table versions: every key whose
+    merged state differs between `as of epoch 1` and `as of epoch 3`,
+    classified added/changed/deleted with both sides' order tuples —
+    the lakehouse incremental read (the reference re-publishes its
+    change stream via Kafka; SURVEY §2.2).  Metadata-planned from the
+    manifest (per-partition file lists at each endpoint), one
+    vectorized Arrow hash-join task per partition; output is
+    proportional to the change set, never the table."""
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot_diff
+
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+    return snapshot_diff(lake, _DIFF_FROM, _DIFF_TO)
+
+
+def _scd2_sql() -> str:
+    fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
+    return f"""
+    WITH src AS (
+      SELECT url, warc_ts, lsn, 'insert' AS op
+      FROM parquet_scan('{fix}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT url, warc_ts, lsn, op
+      FROM parquet_scan('{fix}/events/epoch=*/*.parquet', union_by_name=true))
+    SELECT url, warc_ts AS valid_from, lsn, op,
+           lead(warc_ts) OVER w AS valid_to,
+           (CASE WHEN lead(warc_ts) OVER w IS NULL AND op <> 'delete'
+                 THEN 1 ELSE 0 END)::BIGINT AS is_current
+    FROM src
+    WINDOW w AS (PARTITION BY url ORDER BY warc_ts, lsn)
+    """
+
+
+_SCD2_BUCKETS = 64
+
+
+@query("cdc_scd2_history", _scd2_sql())
+def scd2_history(sf_dir: str):
+    """SCD-2 version history from the change log: every version of
+    every key with its validity interval [valid_from, valid_to) and an
+    is_current flag (delete-terminated chains are never current) — the
+    slowly-changing-dimension table a warehouse derives from a CDC
+    feed.  Keys hash into {_SCD2_BUCKETS} exchange partitions; the
+    per-bucket body is ONE vectorized scan (sort by (url, warc_ts,
+    lsn), shifted-neighbor valid_to), group-count-independent like
+    window_session."""
+    import ray.data as rd
+
+    fixture = flagship_fixture_dir()
+    base = rd.read_parquet(
+        os.path.join(fixture, "base"), columns=["url", "warc_ts", "lsn"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "op", pa.array(np.repeat("insert", t.num_rows), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    ev = rd.read_parquet(
+        os.path.join(fixture, "events"), columns=["url", "warc_ts", "lsn", "op"]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = partition_for(t.column("url"), _SCD2_BUCKETS).astype("int64")
+        return t.append_column("ubucket", pa.array(b))
+
+    def versions(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("url", "ascending"),
+                    ("warc_ts", "ascending"),
+                    ("lsn", "ascending"),
+                ],
+            )
+        )
+        n = g.num_rows
+        u = g.column("url").to_numpy(zero_copy_only=False)
+        ts_us = (
+            g.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        has_next = np.zeros(n, dtype=bool)
+        nxt = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            has_next[:-1] = u[1:] == u[:-1]
+            nxt[:-1] = ts_us[1:]
+        valid_to = pc.if_else(
+            pa.array(has_next),
+            pc.cast(pa.array(nxt), pa.timestamp("us")),
+            pa.nulls(n, pa.timestamp("us")),
+        )
+        live = pc.not_equal(g.column("op"), "delete").to_numpy(
+            zero_copy_only=False
+        )
+        is_current = (~has_next & live).astype(np.int64)
+        return pa.table(
+            {
+                "url": g.column("url"),
+                "valid_from": g.column("warc_ts"),
+                "lsn": g.column("lsn"),
+                "op": g.column("op"),
+                "valid_to": valid_to,
+                "is_current": pa.array(is_current),
+            }
+        )
+
+    return (
+        base.union(ev)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(versions, batch_format="pyarrow")
+    )
+
+
+_KMV_K = 128
+
+
+def _kmv_sql() -> str:
+    hv = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+    return f"""
+    WITH h AS (SELECT DISTINCT {hv} AS hv FROM events),
+         kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+    SELECT count(*)::BIGINT AS k,
+           max(hv) AS kth_min_hash,
+           (((count(*) - 1)::HUGEINT * (1::HUGEINT << 60))
+             / max(hv)::HUGEINT)::BIGINT AS est_distinct
+    FROM kmin
+    """
+
+
+@query("sketch_kmv_distinct", _kmv_sql())
+def sketch_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the K smallest 60-bit hash values of the key; the K-th
+    smallest estimates the distinct count as (K-1)·2^60 / h_K.  Exact
+    integer arithmetic on both sides, so the DuckDB twin reproduces the
+    ESTIMATE bit-for-bit.  Distributed shape: per-batch unique → md5 →
+    K smallest partials (≤K rows leave each batch); the driver reduce
+    touches K·num_batches candidate rows — O(K) state, no shuffle, the
+    sketch pattern a 100-TB cardinality probe needs."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        hv = md5_int64_array([str(int(x)) for x in u])
+        hv = np.unique(hv)[:_KMV_K]
+        return pa.table({"hv": pa.array(hv, pa.int64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    pieces = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in cand.iter_batches(batch_format="pyarrow")
+    ]
+    hv = np.unique(
+        np.concatenate(
+            [p.column("hv").to_numpy(zero_copy_only=False) for p in pieces]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )[:_KMV_K]
+    k = len(hv)
+    kth = int(hv[-1]) if k else 0
+    est = ((k - 1) * (1 << 60)) // kth if k else 0
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "kth_min_hash": pa.array([kth], pa.int64()),
+            "est_distinct": pa.array([est], pa.int64()),
+        }
+    )
+
+
+_DF_TOPK = 20
+
+
+@query(
+    "text_df_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents)
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf
+    FROM toks GROUP BY term
+    ORDER BY df DESC, term LIMIT {_DF_TOPK}
+    """,
+)
+def text_df_topk(sf_dir: str):
+    """Corpus document-frequency table (the inverted-index / IDF
+    aggregation): top-{_DF_TOPK} terms by document frequency with total
+    term frequency.  Per-batch partial Counters (docs never span
+    batches, so per-batch distinct-doc counts SUM exactly across
+    batches) → one small term groupby → sort-limit; the tokenizer is
+    the engine-wide whitespace splitter (parity:
+    string_split_regex(text, '\\\\s+'))."""
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        tf: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            toks = textfn.whitespace_tokens(txt)
+            tf.update(toks)
+            df.update(frozenset(toks))
+        terms = list(df.keys())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "p_df": pa.array([df[x] for x in terms], pa.int64()),
+                "p_tf": pa.array([tf[x] for x in terms], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(*_agg(df=("sum", "p_df"), tf=("sum", "p_tf")))
+        .sort(key=["df", "term"], descending=[True, False])
+        .limit(_DF_TOPK)
+    )
 
 
 @query("cdc_apply_snapshot", _flagship_sql())

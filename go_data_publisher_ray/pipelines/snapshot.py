@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 
 from .. import schema as schema_mod
@@ -153,6 +154,163 @@ def export_snapshot(
         pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows for f in files
     )
     return {"out_dir": out_dir, "files": len(files), "rows": rows}
+
+
+def _combine_keys(t: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
+    """One hashable array per row for ``pc.index_in`` — the key column
+    itself when single, else a ``\\x1f``-joined string composite."""
+    import pyarrow.compute as pc
+
+    if len(key_cols) == 1:
+        return t.column(key_cols[0]).combine_chunks()
+    parts = [pc.cast(t.column(c), pa.string()) for c in key_cols]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def make_partition_differ(
+    lake_dir: str,
+    old_schema_json: str,
+    new_schema_json: str,
+    merge_spec_dict: dict,
+):
+    """Per-partition CHANGEFEED task: merge the partition's as-of-E1 and
+    as-of-E2 views, then a vectorized Arrow hash-join (``pc.index_in``)
+    classifies every key as added / changed / deleted.  Unchanged keys
+    (identical winning order tuple ⇒ identical row under LWW) are
+    dropped, so the output is proportional to the change set, not the
+    table."""
+    from ..schema import MergeSpec
+
+    mspec = MergeSpec.from_dict(merge_spec_dict)
+    keys, orders = list(mspec.key_cols), list(mspec.order_cols)
+
+    def _merge_side(spec_side: dict | None, schema_json: str) -> pa.Table:
+        schema = schema_mod.schema_from_json(schema_json)
+        cols = keys + orders
+        if spec_side is None:
+            return schema.empty_table().select(cols)
+        base = FileEntry.from_dict(spec_side["base"]) if spec_side["base"] else None
+        deltas = [FileEntry.from_dict(d) for d in spec_side["deltas"]]
+        merged = merge_partition_files(
+            lake_dir, base, deltas, schema, keep_tombstones=False, spec=mspec
+        )
+        return merged.select(cols)
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            spec = json.loads(payload)
+            old = _merge_side(spec["old"], old_schema_json)
+            new = _merge_side(spec["new"], new_schema_json)
+            okey, nkey = _combine_keys(old, keys), _combine_keys(new, keys)
+            pos_in_old = pc.index_in(nkey, value_set=okey)
+            pos_in_new = pc.index_in(okey, value_set=nkey)
+            added = pc.is_null(pos_in_old)
+            # order-tuple inequality on aligned rows (null-take on added
+            # rows -> null -> fill False) marks changed keys
+            chg = pa.array(np.zeros(new.num_rows, dtype=bool))
+            for o in orders:
+                aligned = old.column(o).combine_chunks().take(pos_in_old)
+                ne = pc.fill_null(pc.not_equal(aligned, new.column(o)), False)
+                chg = pc.or_(chg, ne)
+            pieces = []
+
+            def emit(side: pa.Table, mask, change: str, aligned_old=None):
+                rows = side.filter(mask)
+                cols = {k: rows.column(k) for k in keys}
+                cols["change"] = pa.array([change] * rows.num_rows, pa.string())
+                for o in orders:
+                    typ = side.schema.field(o).type
+                    if change == "deleted":
+                        cols[f"old_{o}"] = rows.column(o)
+                        cols[f"new_{o}"] = pa.nulls(rows.num_rows, typ)
+                    elif change == "added":
+                        cols[f"old_{o}"] = pa.nulls(rows.num_rows, typ)
+                        cols[f"new_{o}"] = rows.column(o)
+                    else:  # changed: old side aligned onto new row order
+                        cols[f"old_{o}"] = pc.filter(aligned_old[o], mask)
+                        cols[f"new_{o}"] = rows.column(o)
+                pieces.append(pa.table(cols))
+
+            aligned_old = {
+                o: old.column(o).combine_chunks().take(pos_in_old) for o in orders
+            }
+            emit(new, added, "added")
+            emit(new, pc.and_(pc.invert(added), chg), "changed", aligned_old)
+            emit(old, pc.is_null(pos_in_new), "deleted")
+            out.append(pa.concat_tables(pieces))
+        return pa.concat_tables(out)
+
+    return diff
+
+
+def snapshot_diff(lake_dir: str, from_epoch: int, to_epoch: int):
+    """CHANGEFEED between two committed table versions: a Dataset of
+    (key, change∈{added,changed,deleted}, old_*/new_* order columns) for
+    every key whose merged state differs between ``as of from_epoch``
+    and ``as of to_epoch`` — the manifest-log analog of a lakehouse
+    incremental read / CDC-between-snapshots, and the engine's own
+    change-data output surface (the reference emits its change stream
+    via Kafka re-publish; SURVEY §2.2).  Both endpoints must be
+    committed and at or after the compaction horizon; the diff itself
+    is metadata-planned (per-partition file lists) and executes as one
+    vectorized task per partition."""
+    import ray.data as rd
+
+    man = Manifest(lake_dir)
+    for e in (from_epoch, to_epoch):
+        if not man.has_epoch(e):
+            raise ValueError(f"epoch {e} is not committed")
+    if from_epoch >= to_epoch:
+        raise ValueError("from_epoch must precede to_epoch")
+    state = man.load_state()
+    old_json = man.epoch_record(from_epoch)["schema"]
+    new_json = man.epoch_record(to_epoch)["schema"]
+    items = []
+    for part in range(man.num_partitions):
+        ob, od = state.live_files(part, from_epoch)
+        nb, nd = state.live_files(part, to_epoch)
+        if ob is None and not od and nb is None and not nd:
+            continue
+        items.append(
+            {
+                "payload": json.dumps(
+                    {
+                        "part": part,
+                        "old": (
+                            None
+                            if ob is None and not od
+                            else {
+                                "base": ob.to_dict() if ob else None,
+                                "deltas": [d.to_dict() for d in od],
+                            }
+                        ),
+                        "new": (
+                            None
+                            if nb is None and not nd
+                            else {
+                                "base": nb.to_dict() if nb else None,
+                                "deltas": [d.to_dict() for d in nd],
+                            }
+                        ),
+                    }
+                )
+            }
+        )
+    if not items:
+        new_schema = schema_mod.schema_from_json(new_json)
+        fields = [new_schema.field(k) for k in man.merge_spec.key_cols]
+        fields.append(pa.field("change", pa.string()))
+        for o in man.merge_spec.order_cols:
+            typ = new_schema.field(o).type
+            fields += [pa.field(f"old_{o}", typ), pa.field(f"new_{o}", typ)]
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    fn = make_partition_differ(
+        lake_dir, old_json, new_json, man.merge_spec.to_dict()
+    )
+    return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
 
 
 def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:

@@ -134,6 +134,11 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert len([r for r in applied if not r.get("skipped")]) == 4
     st = run("status", "--lake", f"{root}/lake")
     assert st["last_committed_epoch"] == 3 and st["gaps"] == []
+    d = run("diff", "--lake", f"{root}/lake", "--from-epoch", "1", "--to-epoch", "3")
+    assert d["changes"] and sum(d["changes"].values()) > 0
+    tt = run("snapshot", "--lake", f"{root}/lake", "--out", f"{root}/tt",
+             "--upto-epoch", "1")
+    assert 0 < tt["rows"]
     run("compact", "--lake", f"{root}/lake")
     snap = run("snapshot", "--lake", f"{root}/lake", "--out", f"{root}/export")
     assert snap["rows"] > 0
