@@ -71,6 +71,8 @@ DEFAULT_BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_token_count",
     "text_quality_score",
+    "text_df_topk",
+    "sketch_kmv_distinct",
     "knn_bruteforce",
     "ann_ivf_assign",
     "ann_kmeans_cells",

@@ -2856,6 +2856,195 @@ def text_df_topk(sf_dir: str):
     )
 
 
+def _changefeed_pair_sql(idx: int) -> str:
+    """One epoch-transition diff (aggregating CTE body for
+    cdc_changefeed_stats)."""
+    return f"""
+    d{idx} AS (
+      SELECT {idx + 1} AS to_epoch,
+             CASE WHEN a.url IS NULL THEN 'added'
+                  WHEN b.url IS NULL THEN 'deleted'
+                  ELSE 'changed' END AS change
+      FROM p{idx} a FULL JOIN p{idx + 1} b ON a.url = b.url
+      WHERE a.url IS NULL OR b.url IS NULL
+         OR a.warc_ts <> b.warc_ts OR a.lsn <> b.lsn)"""
+
+
+def _changefeed_stats_sql() -> str:
+    states = ",\n".join(_truncated_state_cte(f"p{e}", e) for e in range(4))
+    pairs = ",\n".join(_changefeed_pair_sql(i) for i in range(3))
+    return f"""
+    WITH {states},
+    {pairs}
+    SELECT to_epoch, change, count(*)::BIGINT AS n
+    FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+    GROUP BY to_epoch, change
+    """
+
+
+@query("cdc_changefeed_stats", _changefeed_stats_sql())
+def changefeed_stats(sf_dir: str):
+    """The INCREMENTAL-READ stream over the whole log: one changefeed
+    per epoch transition (E-1 -> E), reduced to per-transition
+    added/changed/deleted counts — what a downstream consumer polling
+    `cli diff` after every commit would see (the reference's per-epoch
+    Kafka re-publish volume, SURVEY §2.2).  Each transition is its own
+    metadata-planned snapshot_diff; the union streams through one small
+    groupby."""
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot_diff
+
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+
+    feeds = []
+    for e in range(1, 4):
+
+        def tag(t: pa.Table, to_epoch: int = e) -> pa.Table:
+            return pa.table(
+                {
+                    "to_epoch": pa.array(
+                        np.full(t.num_rows, to_epoch, dtype=np.int64)
+                    ),
+                    "change": t.column("change"),
+                }
+            )
+
+        feeds.append(
+            snapshot_diff(lake, e - 1, e).map_batches(tag, batch_format="pyarrow")
+        )
+    ds = feeds[0].union(*feeds[1:])
+    return ds.groupby(["to_epoch", "change"]).aggregate(*_agg(n="count"))
+
+
+@query(
+    "agg_rollup_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*)::BIGINT AS n_rows,
+           sum(l_quantity)::BIGINT AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_pricing(sf_dir: str):
+    """ROLLUP grouping sets ((flag,status), (flag), ()) in one pass:
+    the distributed plan computes ONLY the leaf groupby (pre-combined
+    per batch); the coarser grouping sets are derived from the tiny
+    leaf table driver-side — additive aggregates roll up exactly, so
+    the wide data is shuffled once no matter how many grouping sets."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "rflag": t.column("l_returnflag"),
+                    "lstatus": t.column("l_linestatus"),
+                    "qty": qty,
+                }
+            )
+            .group_by(["rflag", "lstatus"])
+            .aggregate([("qty", "sum"), ("qty", "count")])
+        )
+        return g.rename_columns(["rflag", "lstatus", "p_qty", "p_n"])
+
+    leaf_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rflag", "lstatus"])
+        .aggregate(*_agg(n_rows=("sum", "p_n"), sum_qty=("sum", "p_qty")))
+    )
+    # leaf is |flags|x|statuses| rows -- the rollup derivation is a
+    # driver-side fold over partials, not a second pass over the data
+    leaf = pa.Table.from_pylist(leaf_ds.take_all())
+    leaf = leaf.select(["rflag", "lstatus", "n_rows", "sum_qty"])
+    by_flag = leaf.group_by("rflag").aggregate(
+        [("n_rows", "sum"), ("sum_qty", "sum")]
+    )
+    mid = pa.table(
+        {
+            "rflag": by_flag.column("rflag"),
+            "lstatus": pa.array(["ALL"] * by_flag.num_rows, pa.string()),
+            "n_rows": by_flag.column("n_rows_sum"),
+            "sum_qty": by_flag.column("sum_qty_sum"),
+        }
+    )
+    total = pa.table(
+        {
+            "rflag": pa.array(["ALL"], pa.string()),
+            "lstatus": pa.array(["ALL"], pa.string()),
+            "n_rows": pa.array([pc.sum(leaf.column("n_rows")).as_py()], pa.int64()),
+            "sum_qty": pa.array([pc.sum(leaf.column("sum_qty")).as_py()], pa.int64()),
+        }
+    )
+    return pa.concat_tables([leaf.cast(total.schema), mid.cast(total.schema), total])
+
+
+@query(
+    "funnel_click_to_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, first_click, first_purchase
+    FROM f
+    WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_click
+    """,
+)
+def funnel_click_to_purchase(sf_dir: str):
+    """Conversion funnel: users whose first purchase follows their first
+    click.  Conditional mins (masked columns) pre-combine inside every
+    batch, so the only shuffle is the per-user groupby of two
+    timestamps — the classic funnel reduced to an additive aggregate,
+    no event-to-event join."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        tclick = pc.if_else(
+            pc.equal(et, "click"), t.column("ts"), pa.nulls(t.num_rows, pa.timestamp("us"))
+        )
+        tbuy = pc.if_else(
+            pc.equal(et, "purchase"), t.column("ts"), pa.nulls(t.num_rows, pa.timestamp("us"))
+        )
+        g = (
+            pa.table(
+                {"user_id": t.column("user_id"), "c": tclick, "p": tbuy}
+            )
+            .group_by("user_id")
+            .aggregate([("c", "min"), ("p", "min")])
+        )
+        return g.rename_columns(["user_id", "p_click", "p_buy"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *_agg(first_click=("min", "p_click"), first_purchase=("min", "p_buy"))
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("first_click")),
+                pc.is_valid(t.column("first_purchase")),
+            ),
+            pc.greater_equal(t.column("first_purchase"), t.column("first_click")),
+        )
+        return t.filter(keep).select(["user_id", "first_click", "first_purchase"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 @query("cdc_apply_snapshot", _flagship_sql())
 def flagship_snapshot(sf_dir: str):
     """End-to-end CDC apply on a deterministic synthetic pages+events

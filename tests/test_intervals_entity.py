@@ -173,3 +173,35 @@ def test_intervals_compaction_and_resume(ray_session, intervals_log, lake_dir):
         got[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
         want[["epoch_id", "from_lsn", "to_lsn", "lsn"]],
     )
+
+
+def test_intervals_changefeed_composite_key(ray_session, intervals_log, lake_dir):
+    """snapshot_diff on the second entity: composite (epoch_id, from_lsn)
+    key exercises the \\x1f-joined key path of the differ, and the
+    no-tombstone monotone merge means every change is 'changed' with a
+    strictly grown order tuple (to_lsn, lsn)."""
+    from go_data_publisher_ray.pipelines.snapshot import snapshot_diff
+
+    base_dir, events_dir = intervals_log
+    bootstrap(base_dir, lake_dir, P, merge_spec=INTERVALS_SPEC)
+    apply_log(events_dir, lake_dir)
+
+    e1, e2 = 2, N_EPOCHS - 1
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in snapshot_diff(lake_dir, e1, e2).iter_batches(batch_format="pyarrow")
+    ]
+    got = pa.concat_tables([t for t in tables if t.num_rows]).to_pandas()
+    got = got.sort_values(["epoch_id", "from_lsn"]).reset_index(drop=True)
+
+    old = snapshot_table(lake_dir, upto_epoch=e1).to_pandas()
+    new = snapshot_table(lake_dir, upto_epoch=e2).to_pandas()
+    m = old.merge(new, on=["epoch_id", "from_lsn"], suffixes=("_a", "_b"))
+    want = m[(m.to_lsn_a != m.to_lsn_b) | (m.lsn_a != m.lsn_b)]
+
+    # base seeds every key, intervals never delete -> pure 'changed' feed
+    assert set(got["change"]) == {"changed"}
+    assert len(got) == len(want)
+    assert (got["new_to_lsn"].values >= got["old_to_lsn"].values).all()
+    want_keys = set(zip(want.epoch_id, want.from_lsn))
+    assert set(zip(got.epoch_id, got.from_lsn)) == want_keys
