@@ -2920,6 +2920,216 @@ def changefeed_stats(sf_dir: str):
     return ds.groupby(["to_epoch", "change"]).aggregate(*_agg(n="count"))
 
 
+def _ivm_sql() -> str:
+    fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
+    return f"""
+    WITH src AS (
+      SELECT url, warc_ts, lsn, lang, 'insert' AS op
+      FROM parquet_scan('{fix}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT url, warc_ts, lsn, lang, op
+      FROM parquet_scan('{fix}/events/epoch=*/*.parquet', union_by_name=true))
+    SELECT lang, count(*)::BIGINT AS n_pages FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM src)
+    WHERE rn = 1 AND op <> 'delete'
+    GROUP BY lang
+    """
+
+
+@query("cdc_incremental_view", _ivm_sql())
+def incremental_view_lang_counts(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE: a pages-per-lang aggregate kept
+    current from the changefeed alone.  The view initializes with ONE
+    full pass over the epoch-0 state; every later epoch transition
+    contributes only its value-carrying changefeed
+    (``snapshot_diff(value_cols=('lang',))`` — the payload columns a
+    downstream consumer needs, mirroring the reference's full-document
+    Kafka re-publish, transactions-producer/domain/processor.go:60) as
+    -1/+1 deltas pre-combined per batch.  Maintenance cost is O(changes)
+    per epoch, never O(table); the oracle recomputes the aggregate from
+    the final replayed state."""
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot, snapshot_diff
+
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+
+    def init_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "d": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("d", "sum")])
+        )
+        return g.rename_columns(["lang", "d"])
+
+    def delta_counts(t: pa.Table) -> pa.Table:
+        ch = t.column("change")
+        minus = t.filter(pc.not_equal(ch, "added")).column("old_lang")
+        plus = t.filter(pc.not_equal(ch, "deleted")).column("new_lang")
+        both = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "lang": minus,
+                        "d": pa.array(np.full(len(minus), -1, dtype=np.int64)),
+                    }
+                ),
+                pa.table(
+                    {
+                        "lang": plus,
+                        "d": pa.array(np.ones(len(plus), dtype=np.int64)),
+                    }
+                ),
+            ]
+        )
+        g = both.group_by("lang").aggregate([("d", "sum")])
+        return g.rename_columns(["lang", "d"])
+
+    feeds = [
+        snapshot(lake, upto_epoch=0).map_batches(
+            init_counts, batch_format="pyarrow"
+        )
+    ]
+    for e in range(1, 4):
+        feeds.append(
+            snapshot_diff(lake, e - 1, e, value_cols=("lang",)).map_batches(
+                delta_counts, batch_format="pyarrow"
+            )
+        )
+    view = (
+        feeds[0]
+        .union(*feeds[1:])
+        .groupby("lang")
+        .aggregate(*_agg(n_pages=("sum", "d")))
+    )
+    drop_zero = lambda t: t.filter(pc.not_equal(t.column("n_pages"), 0))  # noqa: E731
+    return view.map_batches(drop_zero, batch_format="pyarrow")
+
+
+@query(
+    "join_salted_events_by_nation",
+    """
+    SELECT c_nationkey, count(*)::BIGINT AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_salted_events_by_nation(sf_dir: str):
+    """HOT-KEY-SALTED shuffle join (the north-star's skew answer at the
+    query layer, mirroring the apply path's url salting): the keyed
+    side is replicated SALT ways with an explicit salt column, the fact
+    side gets an arbitrary per-row salt, and the distributed hash join
+    runs on (key, salt) — so a pathologically hot user_id fans out over
+    SALT reducers instead of landing on one.  Salt values never affect
+    the result (every salt of a key joins to a replica), so the oracle
+    is the plain join."""
+    SALT = 4
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        reps = [
+            t.append_column("salt", pa.array(np.full(t.num_rows, s, np.int64)))
+            for s in range(SALT)
+        ]
+        return pa.concat_tables(reps)
+
+    cust_salted = cust.map_batches(replicate, batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # any per-row spread works for correctness; cheap and vectorized
+        return t.append_column(
+            "salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % SALT)
+        )
+
+    joined = events.map_batches(add_salt, batch_format="pyarrow").join(
+        cust_salted,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+    return joined.groupby("c_nationkey").aggregate(*_agg(n_events="count"))
+
+
+@query(
+    "agg_quantile_per_flag",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS rflag, l_quantity::BIGINT AS qty,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT rflag, qty,
+             sum(n) OVER (PARTITION BY rflag ORDER BY qty) AS cum,
+             sum(n) OVER (PARTITION BY rflag) AS tot
+      FROM h)
+    SELECT rflag,
+           min(qty) FILTER (WHERE cum * 2 >= tot) AS p50_qty,
+           min(qty) FILTER (WHERE cum * 10 >= tot * 9) AS p90_qty
+    FROM c GROUP BY rflag
+    """,
+)
+def agg_quantile_per_flag(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90 of quantity per return
+    flag) without a global sort: per-batch partial histograms over the
+    small value domain pre-combine inside map_batches, one tiny
+    (flag, value) groupby merges them, and a per-flag vectorized CDF
+    scan picks the quantiles — the wide data is touched once, the
+    shuffle payload is bounded by |flags|x|distinct values| regardless
+    of row count (the histogram-quantile shape; an unbounded-domain
+    variant would swap the exact histogram for t-digest sketches with
+    the same plan)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "rflag": t.column("l_returnflag"),
+                    "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                }
+            )
+            .group_by(["rflag", "qty"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["rflag", "qty", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rflag", "qty"])
+        .aggregate(*_agg(n=("sum", "n")))
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        qty = group.column("qty").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(qty)
+        qty, n = qty[order], n[order]
+        cum, tot = np.cumsum(n), int(n.sum())
+        p50 = qty[np.searchsorted(cum * 2, tot)]
+        p90 = qty[np.searchsorted(cum * 10, tot * 9)]
+        return pa.table(
+            {
+                "rflag": pa.array([group.column("rflag")[0].as_py()], pa.string()),
+                "p50_qty": pa.array([int(p50)], pa.int64()),
+                "p90_qty": pa.array([int(p90)], pa.int64()),
+            }
+        )
+
+    return hist.groupby("rflag").map_groups(pick, batch_format="pyarrow")
+
+
 @query(
     "agg_rollup_pricing",
     """

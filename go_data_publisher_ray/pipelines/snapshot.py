@@ -172,29 +172,40 @@ def make_partition_differ(
     old_schema_json: str,
     new_schema_json: str,
     merge_spec_dict: dict,
+    value_cols: tuple[str, ...] = (),
 ):
     """Per-partition CHANGEFEED task: merge the partition's as-of-E1 and
     as-of-E2 views, then a vectorized Arrow hash-join (``pc.index_in``)
     classifies every key as added / changed / deleted.  Unchanged keys
     (identical winning order tuple ⇒ identical row under LWW) are
     dropped, so the output is proportional to the change set, not the
-    table."""
+    table.  ``value_cols`` ride along as old_*/new_* payload columns
+    (the reference re-publishes FULL documents on its change stream,
+    not just keys — transactions-producer/domain/processor.go); change
+    classification stays on the order tuple alone."""
     from ..schema import MergeSpec
 
     mspec = MergeSpec.from_dict(merge_spec_dict)
     keys, orders = list(mspec.key_cols), list(mspec.order_cols)
+    vals = [c for c in value_cols if c not in orders and c not in keys]
+    new_schema_ref = schema_mod.schema_from_json(new_schema_json)
 
     def _merge_side(spec_side: dict | None, schema_json: str) -> pa.Table:
         schema = schema_mod.schema_from_json(schema_json)
-        cols = keys + orders
+        cols = keys + orders + vals
+        # schema evolution: conform BOTH endpoints to the unified schema
+        # so a value column added (or int-widened) after the old endpoint
+        # reads back as nulls / the widened type in the historical side
+        # and the per-change pieces concat without type drift
+        unified = schema_mod.unify(schema, new_schema_ref)
         if spec_side is None:
-            return schema.empty_table().select(cols)
+            return unified.empty_table().select(cols)
         base = FileEntry.from_dict(spec_side["base"]) if spec_side["base"] else None
         deltas = [FileEntry.from_dict(d) for d in spec_side["deltas"]]
         merged = merge_partition_files(
             lake_dir, base, deltas, schema, keep_tombstones=False, spec=mspec
         )
-        return merged.select(cols)
+        return schema_mod.conform(merged, unified).select(cols)
 
     def diff(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -221,7 +232,7 @@ def make_partition_differ(
                 rows = side.filter(mask)
                 cols = {k: rows.column(k) for k in keys}
                 cols["change"] = pa.array([change] * rows.num_rows, pa.string())
-                for o in orders:
+                for o in orders + vals:
                     typ = side.schema.field(o).type
                     if change == "deleted":
                         cols[f"old_{o}"] = rows.column(o)
@@ -235,7 +246,8 @@ def make_partition_differ(
                 pieces.append(pa.table(cols))
 
             aligned_old = {
-                o: old.column(o).combine_chunks().take(pos_in_old) for o in orders
+                o: old.column(o).combine_chunks().take(pos_in_old)
+                for o in orders + vals
             }
             emit(new, added, "added")
             emit(new, pc.and_(pc.invert(added), chg), "changed", aligned_old)
@@ -246,17 +258,24 @@ def make_partition_differ(
     return diff
 
 
-def snapshot_diff(lake_dir: str, from_epoch: int, to_epoch: int):
+def snapshot_diff(
+    lake_dir: str,
+    from_epoch: int,
+    to_epoch: int,
+    value_cols: tuple[str, ...] = (),
+):
     """CHANGEFEED between two committed table versions: a Dataset of
     (key, change∈{added,changed,deleted}, old_*/new_* order columns) for
     every key whose merged state differs between ``as of from_epoch``
     and ``as of to_epoch`` — the manifest-log analog of a lakehouse
     incremental read / CDC-between-snapshots, and the engine's own
     change-data output surface (the reference emits its change stream
-    via Kafka re-publish; SURVEY §2.2).  Both endpoints must be
-    committed and at or after the compaction horizon; the diff itself
-    is metadata-planned (per-partition file lists) and executes as one
-    vectorized task per partition."""
+    via Kafka re-publish; SURVEY §2.2).  ``value_cols`` adds old_*/new_*
+    payload columns so a downstream consumer (e.g. incremental view
+    maintenance) gets the data it needs without re-reading the table.
+    Both endpoints must be committed and at or after the compaction
+    horizon; the diff itself is metadata-planned (per-partition file
+    lists) and executes as one vectorized task per partition."""
     import ray.data as rd
 
     man = Manifest(lake_dir)
@@ -299,16 +318,21 @@ def snapshot_diff(lake_dir: str, from_epoch: int, to_epoch: int):
                 )
             }
         )
+    extra = tuple(
+        c
+        for c in value_cols
+        if c not in man.merge_spec.order_cols and c not in man.merge_spec.key_cols
+    )
     if not items:
         new_schema = schema_mod.schema_from_json(new_json)
         fields = [new_schema.field(k) for k in man.merge_spec.key_cols]
         fields.append(pa.field("change", pa.string()))
-        for o in man.merge_spec.order_cols:
+        for o in list(man.merge_spec.order_cols) + list(extra):
             typ = new_schema.field(o).type
             fields += [pa.field(f"old_{o}", typ), pa.field(f"new_{o}", typ)]
         return rd.from_arrow(pa.schema(fields).empty_table())
     fn = make_partition_differ(
-        lake_dir, old_json, new_json, man.merge_spec.to_dict()
+        lake_dir, old_json, new_json, man.merge_spec.to_dict(), value_cols=extra
     )
     return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
 

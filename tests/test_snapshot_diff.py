@@ -114,3 +114,80 @@ def test_diff_refusals(ray_session, tmp_path):
     last = SMALL_SPEC.n_epochs - 1
     with pytest.raises(ValueError, match="compaction"):
         _diff_table(lake, 0, last)
+
+
+def _collect(ds) -> pa.Table:
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    tables = [t for t in tables if t.num_rows]
+    t = pa.concat_tables(tables)
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def test_diff_value_cols(ray_session, tmp_path):
+    """value_cols ride the changefeed as old_*/new_* payload columns,
+    aligned with the key: nulls on the absent side of added/deleted
+    rows, and exact old/new values (checked via `text`, which varies
+    per lsn) on changed rows."""
+    lake = _build(tmp_path)
+    last = SMALL_SPEC.n_epochs - 1
+    got = _collect(snapshot_diff(lake, 1, last, value_cols=("lang", "text")))
+    for c in ("old_lang", "new_lang", "old_text", "new_text"):
+        assert c in got.column_names
+
+    added = got.filter(pc.equal(got.column("change"), "added"))
+    assert added.column("old_text").null_count == added.num_rows
+    assert added.column("new_text").null_count == 0
+    deleted = got.filter(pc.equal(got.column("change"), "deleted"))
+    assert deleted.column("new_text").null_count == deleted.num_rows
+    assert deleted.column("old_text").null_count == 0
+
+    old = snapshot_table(lake, upto_epoch=1)
+    new = snapshot_table(lake, upto_epoch=last)
+    o_text = dict(
+        zip(old.column("url").to_pylist(), old.column("text").to_pylist())
+    )
+    n_text = dict(
+        zip(new.column("url").to_pylist(), new.column("text").to_pylist())
+    )
+    changed = got.filter(pc.equal(got.column("change"), "changed"))
+    for u, ot, nt in zip(
+        changed.column("url").to_pylist(),
+        changed.column("old_text").to_pylist(),
+        changed.column("new_text").to_pylist(),
+    ):
+        assert ot == o_text[u] and nt == n_text[u], u
+
+
+def test_diff_value_cols_across_evolution(ray_session, tmp_path):
+    """A value column ADDED at the evolution fence: the pre-evolution
+    endpoint has no such column, so the changefeed's old side is all
+    null while the new side carries the post-fence values from the
+    as-of-last view."""
+    import dataclasses
+
+    from go_data_publisher_ray.sources.generator import cached_fixture as _cf
+
+    spec = dataclasses.replace(SMALL_SPEC, evolve_epoch=6)
+    log = _cf(spec)
+    lake = str(tmp_path / "lake_evolve")
+    bootstrap(os.path.join(log, "base"), lake, P)
+    apply_log(os.path.join(log, "events"), lake)
+
+    last = spec.n_epochs - 1
+    got = _collect(snapshot_diff(lake, 5, last, value_cols=("fetch_status",)))
+    assert got.column("old_fetch_status").null_count == got.num_rows
+    new_side = got.filter(pc.not_equal(got.column("change"), "deleted"))
+    assert new_side.column("new_fetch_status").null_count < new_side.num_rows
+
+    new = snapshot_table(lake, upto_epoch=last)
+    want = dict(
+        zip(new.column("url").to_pylist(), new.column("fetch_status").to_pylist())
+    )
+    for u, fs in zip(
+        new_side.column("url").to_pylist(),
+        new_side.column("new_fetch_status").to_pylist(),
+    ):
+        assert fs == want[u], u
