@@ -3286,3 +3286,472 @@ def flagship_snapshot(sf_dir: str):
         )
 
     return snapshot(lake).map_batches(project, batch_format="pyarrow")
+
+
+# ======================================================================
+# Round-3 widening: grouping sets, per-row window functions, semi join,
+# training-data chunking / redaction / decontamination, TTL retention
+# ======================================================================
+
+
+def _pricing_leaf(sf_dir: str) -> pa.Table:
+    """Shared leaf groupby for the ROLLUP/CUBE grouping-set queries:
+    ONE distributed pass (per-batch pre-combine then a tiny
+    (flag,status) groupby); every coarser grouping set is an exact
+    driver-side fold of this |flags|x|statuses| table because the
+    aggregates are additive."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "rflag": t.column("l_returnflag"),
+                    "lstatus": t.column("l_linestatus"),
+                    "qty": qty,
+                }
+            )
+            .group_by(["rflag", "lstatus"])
+            .aggregate([("qty", "sum"), ("qty", "count")])
+        )
+        return g.rename_columns(["rflag", "lstatus", "p_qty", "p_n"])
+
+    leaf_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rflag", "lstatus"])
+        .aggregate(*_agg(n_rows=("sum", "p_n"), sum_qty=("sum", "p_qty")))
+    )
+    leaf = pa.Table.from_pylist(leaf_ds.take_all())
+    return leaf.select(["rflag", "lstatus", "n_rows", "sum_qty"])
+
+
+def _fold_grouping_set(leaf: pa.Table, keys: list[str]) -> pa.Table:
+    """Roll the leaf table up to one grouping set, filling dropped
+    dimensions with 'ALL' (the SQL twin's coalesce convention)."""
+    schema = pa.schema(
+        [
+            ("rflag", pa.string()),
+            ("lstatus", pa.string()),
+            ("n_rows", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]
+    )
+    if keys:
+        g = leaf.group_by(keys).aggregate([("n_rows", "sum"), ("sum_qty", "sum")])
+        cols = {}
+        for dim in ("rflag", "lstatus"):
+            if dim in keys:
+                cols[dim] = g.column(dim)
+            else:
+                cols[dim] = pa.array(["ALL"] * g.num_rows, pa.string())
+        cols["n_rows"] = g.column("n_rows_sum")
+        cols["sum_qty"] = g.column("sum_qty_sum")
+        return pa.table(cols).cast(schema)
+    return pa.table(
+        {
+            "rflag": pa.array(["ALL"], pa.string()),
+            "lstatus": pa.array(["ALL"], pa.string()),
+            "n_rows": pa.array([pc.sum(leaf.column("n_rows")).as_py()], pa.int64()),
+            "sum_qty": pa.array([pc.sum(leaf.column("sum_qty")).as_py()], pa.int64()),
+        }
+    ).cast(schema)
+
+
+@query(
+    "agg_cube_pricing",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*)::BIGINT AS n_rows,
+           sum(l_quantity)::BIGINT AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_pricing(sf_dir: str):
+    """CUBE grouping sets ((flag,status),(flag),(status),()) — the full
+    cross of subtotals the reference's status projections expose one at
+    a time (`status-service/rpc/status_service.go:210-231` family) — in
+    ONE distributed pass: only the leaf groupby touches the wide data;
+    all four grouping sets are exact additive folds of the tiny leaf."""
+    leaf = _pricing_leaf(sf_dir)
+    return pa.concat_tables(
+        [
+            _fold_grouping_set(leaf, ["rflag", "lstatus"]),
+            _fold_grouping_set(leaf, ["rflag"]),
+            _fold_grouping_set(leaf, ["lstatus"]),
+            _fold_grouping_set(leaf, []),
+        ]
+    )
+
+
+_WINDOW_BUCKETS = 64  # user-hash fan-out shared by the per-row window queries
+
+
+def _per_user_sorted(g: pa.Table) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Sort one exchange bucket by (user, ts, event_id) and return the
+    sorted table plus (user array, segment-start mask) — the shared
+    scaffolding of the segmented per-row window scans."""
+    g = g.take(
+        pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+    )
+    u = g.column("user_id").to_numpy(zero_copy_only=False)
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
+        new[1:] = u[1:] != u[:-1]
+    return g, u, new
+
+
+def _add_ubucket(t: pa.Table) -> pa.Table:
+    u = t.column("user_id").to_numpy(zero_copy_only=False)
+    return t.append_column("ubucket", pa.array(u % _WINDOW_BUCKETS))
+
+
+@query(
+    "window_lag_event_gap",
+    """
+    SELECT user_id, event_id,
+           coalesce(epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    -1) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_event_gap(sf_dir: str):
+    """Per-row LAG window function (inter-event gap per user in
+    microseconds; first event per user = -1): users hash into
+    ``_WINDOW_BUCKETS`` exchange partitions, then ONE vectorized
+    segmented np.diff per bucket — no per-user Python, runtime
+    independent of the user count (the same shape as
+    ``window_session``)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g, u, new = _per_user_sorted(g)
+        t_us = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[0:1] = -1
+        if len(u) > 1:
+            gap[1:] = t_us[1:] - t_us[:-1]
+        gap[new] = -1
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_ubucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER w AS run_n,
+           sum(floor(value * 100)::BIGINT) OVER w AS run_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def window_running_sum(sf_dir: str):
+    """Per-row running aggregates (event count + cumulative value in
+    integer cents per user, ordered by event time): segmented cumsum —
+    one np.cumsum per exchange bucket with the per-user base subtracted
+    via np.repeat over segment starts.  Integer cents (floor(v*100))
+    keep the running sum exact and order-independent across engines."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def running(g: pa.Table) -> pa.Table:
+        g, u, new = _per_user_sorted(g)
+        cents = np.floor(
+            g.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        cum = np.cumsum(cents)
+        seg_base = cum[starts] - cents[starts]
+        run_cents = cum - np.repeat(seg_base, counts)
+        run_n = np.arange(len(u), dtype=np.int64) - np.repeat(starts, counts) + 1
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "run_n": pa.array(run_n),
+                "run_cents": pa.array(run_cents),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_ubucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(running, batch_format="pyarrow")
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(sf_dir: str):
+    """Broadcast semi-join (EXISTS): customers with at least one order.
+    The key side is distinct-collected once and shipped via ray.put;
+    every customer batch probes it with np.isin — no shuffle of the
+    big side.  Same scale caveat + fallbacks as the anti-join family
+    (bloom / bucketed variants, `anti_join_clicks_no_purchase`)."""
+    import ray
+
+    keys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    kref = ray.put(np.unique(np.asarray(keys, dtype=np.int64)))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keep = ray.get(kref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ck, self.keep)))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+
+
+_CHUNK_TOKENS = 32
+
+
+@query(
+    "text_chunk_fixed",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + {_CHUNK_TOKENS} - 1) // {_CHUNK_TOKENS}))
+               AS chunk_id
+      FROM w WHERE len(toks) > 0)
+    SELECT doc_id, chunk_id,
+           least((chunk_id + 1) * {_CHUNK_TOKENS}, len(toks))
+             - chunk_id * {_CHUNK_TOKENS} AS n_tokens,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_TOKENS} + 1
+                  : least((chunk_id + 1) * {_CHUNK_TOKENS}, len(toks))],
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_fixed(sf_dir: str):
+    """Training-sample chunking: split each document into fixed-size
+    token windows (32 whitespace tokens, final partial chunk kept) —
+    the standard corpus -> training-example explode.  A row-expanding
+    map_batches (flat_map shape): per-doc Python split only (same
+    measured justification as the other short-doc text ops), all
+    downstream columns Arrow-native.  At 100 TB this stage is
+    embarrassingly parallel — no shuffle, output partitioned by input
+    block."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_chunk: list[int] = []
+        out_n: list[int] = []
+        out_text: list[str] = []
+        for i, txt in zip(ids, texts):
+            toks = txt.split()
+            for c in range(0, (len(toks) + _CHUNK_TOKENS - 1) // _CHUNK_TOKENS):
+                piece = toks[c * _CHUNK_TOKENS : (c + 1) * _CHUNK_TOKENS]
+                out_id.append(i)
+                out_chunk.append(c)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_chunk, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+@query(
+    "text_redact_digits",
+    """
+    SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+    FROM events
+    """,
+)
+def text_redact_digits(sf_dir: str):
+    """PII-style scrubbing: replace every digit run in the payload with
+    a mask token — fully vectorized Arrow RE2
+    (``pc.replace_substring_regex``), zero Python in the hot path; the
+    DuckDB twin uses the same RE2 engine so semantics match exactly.
+    (The real scrubber swaps in email/phone/ssn alternations — same
+    kernel, same plan.)"""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "props_redacted": pc.replace_substring_regex(
+                    t.column("props"), pattern="[0-9]+", replacement="#"
+                ),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+_BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 plays the held-out benchmark
+
+
+@query(
+    "contamination_ngram_overlap",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 1)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM w WHERE len(toks) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+    hits AS (
+      SELECT corpus.doc_id, count(*) AS n_hit
+      FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+    SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0) AS n_hit
+    FROM (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1) s
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_ngram_overlap(sf_dir: str):
+    """Benchmark decontamination: per training document, how many of
+    its distinct word-3-grams appear in a held-out benchmark set (docs
+    with doc_id % 97 == 0 play the benchmark).  The benchmark shingle
+    set is SMALL by construction (eval sets are; the asymmetry is the
+    point of this operator vs the symmetric jaccard join), so it is
+    distinct-collected once and broadcast via ray.put; every corpus
+    batch computes its per-doc overlap locally — one pass over the
+    corpus, no shuffle.  If the benchmark outgrew the driver, the
+    jaccard-style bucketed shingle join is the fallback plan."""
+    import ray
+
+    from ..functions.text import word_ngrams
+
+    def _is_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _BENCH_MOD == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_docs = ds.map_batches(_is_bench, batch_format="pyarrow")
+    bench_shingles = bench_docs.map_batches(
+        dedup_stage.shingle_table, batch_format="pyarrow"
+    ).unique("shingle")
+    bref = ray.put(frozenset(bench_shingles))
+
+    class OverlapCounter:
+        def __init__(self):
+            self.bench = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            out_id: list[int] = []
+            out_n: list[int] = []
+            out_hit: list[int] = []
+            for i, txt in zip(ids, texts):
+                if i % _BENCH_MOD == 0:
+                    continue
+                sh = word_ngrams(txt, 3)
+                if not sh:
+                    continue
+                out_id.append(i)
+                out_n.append(len(sh))
+                out_hit.append(sum(1 for s in sh if s in self.bench))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_shingles": pa.array(out_n, pa.int64()),
+                    "n_hit": pa.array(out_hit, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(OverlapCounter, batch_format="pyarrow", concurrency=2)
+
+
+_TTL_DAYS = 7
+
+
+@query(
+    "cdc_ttl_retention",
+    f"""
+    WITH last AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    cutoff AS (SELECT max(ts) - INTERVAL {_TTL_DAYS} DAY AS lo FROM events)
+    SELECT user_id, ts, event_id AS lsn
+    FROM last, cutoff WHERE rn = 1 AND ts >= lo
+    """,
+)
+def cdc_ttl_retention(sf_dir: str):
+    """Row-level TTL retention over the LWW state: keys whose latest
+    version is older than (global watermark - 7 days) are expired —
+    the lake-vacuum / retention-policy analog of the reference's
+    interval trimming (`intervals_processor.go:103-149` family).  Two
+    small aggregates frame one LWW pass: the global max-ts watermark is
+    a tiny reduce broadcast into the per-partition collapse; no second
+    scan of the wide data."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    cutoff_us = (
+        int(np.datetime64(ds.max("ts"), "us").astype(np.int64))
+        - _TTL_DAYS * 86_400_000_000
+    )
+    ds = ds.map_batches(
+        _AddEpochPart(precombine=(("user_id",), ("ts", "event_id"))),
+        batch_format="pyarrow",
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = keep_last_by(g, ["user_id"], ["ts", "event_id"])
+        keep = pc.greater_equal(
+            pc.cast(g.column("ts"), pa.int64()), pa.scalar(cutoff_us)
+        )
+        g = g.filter(keep)
+        return g.select(["user_id", "ts", "event_id"]).rename_columns(
+            ["user_id", "ts", "lsn"]
+        )
+
+    return ds.groupby("part").map_groups(finish, batch_format="pyarrow")
