@@ -108,6 +108,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--min-deltas", type=int, default=1)
 
+    vc = sub.add_parser("vacuum", help="delete data files the live view can't reach")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument(
+        "--orphans",
+        action="store_true",
+        help="also sweep unreferenced files (NOT concurrent-apply safe)",
+    )
+
+    rp = sub.add_parser(
+        "repartition", help="rewrite the lake into a new partition count"
+    )
+    rp.add_argument("--lake", required=True, help="source lake")
+    rp.add_argument("--out", required=True, help="destination lake (must not exist)")
+    rp.add_argument("--partitions", type=int, required=True)
+
     s = sub.add_parser("snapshot", help="export the merged state as parquet")
     s.add_argument("--lake", required=True)
     s.add_argument("--out", required=True)
@@ -247,6 +262,14 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact
 
             print(json.dumps(compact(args.lake, min_deltas=args.min_deltas)))
+        elif args.cmd == "vacuum":
+            from .pipelines.maintain import vacuum
+
+            print(json.dumps(vacuum(args.lake, include_orphans=args.orphans)))
+        elif args.cmd == "repartition":
+            from .pipelines.maintain import repartition_lake
+
+            print(json.dumps(repartition_lake(args.lake, args.out, args.partitions)))
         elif args.cmd == "snapshot":
             from .pipelines.snapshot import export_snapshot
 

@@ -227,6 +227,11 @@ def apply_epoch(
                 f"(base_upto_epoch >= {epoch}); re-submit late data as a new "
                 f"epoch (see pipelines/apply.py docstring)"
             )
+    if epoch <= man.compaction_horizon():
+        # fully folded into every partition's base (e.g. a lake
+        # repartitioned from a source that had already ingested this
+        # epoch): the delta would be invisible to live_files — skip
+        return {"epoch": epoch, "skipped": True, "folded": True}
     t0 = time.perf_counter()
     edir = os.path.join(events_dir, f"epoch={epoch}")
     if not os.path.isdir(edir) or not any(

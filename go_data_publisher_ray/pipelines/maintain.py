@@ -1,0 +1,166 @@
+"""Lake maintenance: physical file GC (vacuum) and partition-count
+rewrite (repartition) — the operability half of the LSM lakehouse.
+
+``vacuum`` is the Delta-Lake-VACUUM analog for the manifest-log lake:
+compaction (`compact.py`) folds deltas into a new base but leaves the
+superseded base and the folded delta files on disk (the manifest simply
+stops serving them).  Vacuum deletes every data file that the CURRENT
+live view can no longer reach.  The reference never needs this — its
+state lives in ES/Kafka with their own retention — but a 100 TB parquet
+lake that compacts hourly would otherwise double its footprint per
+compaction cycle.
+
+``repartition_lake`` rewrites a lake into a NEW lake with a different
+partition count — the grow-the-cluster operation (4N nodes want 4P
+partitions so per-partition merge tasks stay right-sized).  It streams
+the merged snapshot through the standard url-hash exchange into fresh
+base files and stamps the new lake's bootstrap compaction with the
+source's committed-epoch watermark, so ``apply_log`` on the new lake
+resumes the SAME change log from the next epoch (folded epochs are
+skipped, not re-applied).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+
+from .. import schema as schema_mod
+from ..stages.merge import AddPartitionAndCombine, BaseWriter
+from ..state.manifest import Manifest, read_json
+from .apply import _stats_to_entries
+from .snapshot import snapshot
+
+
+def _data_files_on_disk(lake_dir: str) -> list[str]:
+    """All parquet (and leftover write-temp) files under part=*/,
+    lake-relative."""
+    out = []
+    for d in sorted(os.listdir(lake_dir)):
+        if not d.startswith("part="):
+            continue
+        pdir = os.path.join(lake_dir, d)
+        if not os.path.isdir(pdir):
+            continue
+        for f in sorted(os.listdir(pdir)):
+            out.append(os.path.join(d, f))
+    return out
+
+
+def vacuum(lake_dir: str, *, include_orphans: bool = False) -> dict:
+    """Delete data files unreachable from the lake's live view.
+
+    Removes (a) base files superseded by a later compaction and
+    (b) delta files at or below the compaction horizon (already folded
+    into a base).  Time-travel / changefeed reads behind the compaction
+    horizon were ALREADY refused by ``LakeState.live_files`` (compaction
+    is the retention horizon), so vacuum only reclaims bytes — it never
+    tightens a read that was previously possible.
+
+    ``include_orphans=True`` additionally sweeps files no manifest
+    record references at all (leftovers of a crashed pre-commit apply)
+    including ``.tmp-*`` write-temps.  Orphan sweeping must not run
+    concurrently with an in-flight apply on the same lake — a not-yet-
+    committed epoch's freshly written deltas look exactly like orphans
+    (same caveat as the reference's offset-before-index crash window,
+    `transactions-consumer/consume/transaction_consumer.go:150-154`).
+
+    Driver-side, O(files) metadata work; no Ray tasks.
+    """
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    live: set[str] = set()
+    for part in range(man.num_partitions):
+        base, deltas = state.live_files(part)
+        if base is not None:
+            live.add(base.path)
+        live.update(d.path for d in deltas)
+    referenced: set[str] = set()
+    for name in os.listdir(man.manifest_dir):
+        if name.endswith(".json"):
+            rec = read_json(os.path.join(man.manifest_dir, name))
+            referenced.update(f["path"] for f in rec.get("files", []))
+
+    deleted, reclaimed, orphans = [], 0, []
+    for rel in _data_files_on_disk(lake_dir):
+        if rel in live:
+            continue
+        abspath = os.path.join(lake_dir, rel)
+        if rel in referenced:
+            reclaimed += os.path.getsize(abspath)
+            os.remove(abspath)
+            deleted.append(rel)
+        elif include_orphans:
+            reclaimed += os.path.getsize(abspath)
+            os.remove(abspath)
+            orphans.append(rel)
+    return {
+        "files_deleted": len(deleted),
+        "orphans_deleted": len(orphans),
+        "bytes_reclaimed": reclaimed,
+    }
+
+
+def repartition_lake(
+    src_lake: str,
+    dst_lake: str,
+    num_partitions: int,
+    *,
+    batch_size: int = 65536,
+) -> dict:
+    """Rewrite ``src_lake`` into ``dst_lake`` with a new partition count.
+
+    One streaming pass: per-partition snapshot merge (tombstones
+    resolved, so the new base starts clean) -> the standard url-hash
+    exchange keyed to the NEW partition count -> per-partition sorted
+    base writes from the workers.  The destination's bootstrap
+    compaction record carries ``upto_epoch = source watermark``, so
+    ``apply_log`` of the same change log resumes at the next epoch —
+    already-ingested epochs are skipped as folded, not re-applied.
+
+    Sharded lakes are refused: key ownership is ``hash(key) % P % n``,
+    so changing P silently re-deals the key space across a shard fleet;
+    repartitioning a sharded deployment means re-bootstrapping every
+    shard with the same new P (see ``pipelines/shard.py``).
+    """
+    t0 = time.perf_counter()
+    man_src = Manifest(src_lake)
+    if man_src.shard is not None:
+        raise ValueError(
+            f"cannot repartition sharded lake {src_lake} (shard "
+            f"{man_src.shard[0]}/{man_src.shard[1]}): changing the partition "
+            "count re-deals key ownership across the shard fleet; "
+            "re-bootstrap every shard with the new partition count instead"
+        )
+    state = man_src.load_state()
+    watermark = max(state.committed_epochs, default=-1)
+    spec = man_src.merge_spec
+
+    if os.path.exists(os.path.join(dst_lake, "lake.json")):
+        raise ValueError(f"destination lake {dst_lake} already exists")
+    man_dst = Manifest(dst_lake, num_partitions, merge_spec=spec)
+
+    ds = snapshot(src_lake)  # merged live rows, lineage (lsn) kept
+    ds = ds.map_batches(
+        AddPartitionAndCombine(num_partitions, combine=False, spec=spec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    stats = ds.groupby("part").map_groups(
+        BaseWriter(dst_lake, tag="c000000", spec=spec), batch_format="pyarrow"
+    )
+    entries, _ = _stats_to_entries(stats.take_all())
+
+    base_schema = state.schema if state.schema is not None else pa.schema([])
+    if "op" in base_schema.names:
+        base_schema = base_schema.remove(base_schema.get_field_index("op"))
+    man_dst.commit_compaction(watermark, entries, base_schema, cid=0)
+    return {
+        "partitions": len(entries),
+        "rows": sum(e.rows for e in entries),
+        "bytes": sum(e.bytes for e in entries),
+        "resumes_after_epoch": watermark,
+        "sec": time.perf_counter() - t0,
+    }

@@ -227,6 +227,22 @@ class Manifest:
         self.refresh_checkpoints()
         return record
 
+    def compaction_horizon(self) -> int:
+        """The epoch below-or-at which EVERY partition's events are
+        folded into its current base (-1 if any partition has no base):
+        epochs <= horizon are fully represented by base files and must
+        be skipped, never re-applied — the resume fence a repartitioned
+        lake (pipelines/maintain.py) carries over from its source."""
+        upto: dict[int, int] = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("compact_") and name.endswith(".json"):
+                rec = read_json(os.path.join(self.manifest_dir, name))
+                for fd in rec["files"]:
+                    upto[fd["partition"]] = rec["upto_epoch"]
+        return min(
+            (upto.get(p, -1) for p in range(self.num_partitions)), default=-1
+        )
+
     def next_compaction_id(self) -> int:
         existing = [
             int(n[len("compact_") : -len(".json")])

@@ -1,0 +1,129 @@
+"""Lake maintenance: vacuum (physical GC of superseded files) and
+repartition (partition-count rewrite that resumes the same change log
+from the carried watermark)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+from go_data_publisher_ray.pipelines.compact import compact
+from go_data_publisher_ray.pipelines.maintain import (
+    _data_files_on_disk,
+    repartition_lake,
+    vacuum,
+)
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.pipelines.verify import (
+    lineage_check,
+    replay_oracle_table,
+    tables_equal,
+)
+from go_data_publisher_ray.state.manifest import Manifest
+
+P = 8
+
+
+def test_vacuum_reclaims_superseded_files(ray_session, small_log, lake_dir):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=6)
+    compact(lake_dir)  # folds 6 epochs; old base + deltas now superseded
+    before = snapshot_table(lake_dir)
+    n_files_before = len(_data_files_on_disk(lake_dir))
+
+    r = vacuum(lake_dir)
+    assert r["files_deleted"] > 0 and r["bytes_reclaimed"] > 0
+    assert r["orphans_deleted"] == 0
+
+    # exactly the live view remains on disk: one compacted base per part
+    remaining = _data_files_on_disk(lake_dir)
+    assert len(remaining) == P < n_files_before
+    state = Manifest(lake_dir).load_state()
+    live = {state.base[p].path for p in range(P)}
+    assert set(remaining) == live
+
+    after = snapshot_table(lake_dir)
+    ok, msg = tables_equal(before, after)
+    assert ok, msg
+    # vacuum is idempotent
+    assert vacuum(lake_dir)["files_deleted"] == 0
+
+    # the lake keeps ingesting after vacuum
+    apply_log(events, lake_dir)
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
+def test_vacuum_orphan_sweep(ray_session, small_log, lake_dir):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=2)
+    # plant a crashed-apply leftover: an unreferenced delta + a write-temp
+    pdir = os.path.join(lake_dir, "part=00000")
+    pq.write_table(pa.table({"x": [1]}), os.path.join(pdir, "delta_crashed.parquet"))
+    with open(os.path.join(pdir, "base_x.parquet.tmp-dead"), "wb") as f:
+        f.write(b"junk")
+
+    r = vacuum(lake_dir)  # default: orphans are NOT touched
+    assert r["orphans_deleted"] == 0
+    assert os.path.exists(os.path.join(pdir, "delta_crashed.parquet"))
+
+    r = vacuum(lake_dir, include_orphans=True)
+    assert r["orphans_deleted"] == 2
+    assert not os.path.exists(os.path.join(pdir, "delta_crashed.parquet"))
+    assert not os.path.exists(os.path.join(pdir, "base_x.parquet.tmp-dead"))
+    assert lineage_check(lake_dir)["mismatches"] == []
+
+
+def test_repartition_resumes_log(ray_session, small_log, tmp_path):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    bootstrap(base, src, P)
+    results = apply_log(events, src, stop_after=6)
+    applied = [r["epoch"] for r in results if not r.get("skipped")]
+
+    r = repartition_lake(src, dst, 2 * P)
+    assert r["partitions"] == 2 * P
+    assert r["resumes_after_epoch"] == max(applied)
+
+    # identical merged state at the new partition count
+    ok, msg = tables_equal(snapshot_table(src), snapshot_table(dst))
+    assert ok, msg
+    man = Manifest(dst)
+    assert man.num_partitions == 2 * P
+    assert man.compaction_horizon() == max(applied)
+
+    # resuming the SAME log: folded epochs are skipped, the rest apply;
+    # final state matches the full replay oracle
+    results = apply_log(events, dst)
+    folded = [r for r in results if r.get("folded")]
+    fresh = [r for r in results if not r.get("skipped")]
+    assert {r["epoch"] for r in folded} == set(applied)
+    assert fresh, "expected remaining epochs to apply on the new lake"
+    got = snapshot_table(dst)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    assert lineage_check(dst)["mismatches"] == []
+
+
+def test_repartition_refuses_sharded_and_existing(ray_session, small_log, tmp_path):
+    import pytest
+
+    base = os.path.join(small_log, "base")
+    sharded = str(tmp_path / "sharded")
+    bootstrap(base, sharded, P, shard=(0, 2))
+    with pytest.raises(ValueError, match="sharded"):
+        repartition_lake(sharded, str(tmp_path / "x"), 2 * P)
+
+    plain = str(tmp_path / "plain")
+    bootstrap(base, plain, P)
+    with pytest.raises(ValueError, match="already exists"):
+        repartition_lake(plain, plain, 2 * P)
