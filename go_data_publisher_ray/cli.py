@@ -133,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="time-travel: export the state as of this committed epoch",
     )
+    s.add_argument(
+        "--format",
+        choices=["parquet", "csv", "jsonl"],
+        default="parquet",
+        help="export sink encoding (binary columns hex-encode in csv/jsonl)",
+    )
 
     df = sub.add_parser(
         "diff", help="changefeed between two committed epochs (added/changed/deleted)"
@@ -277,7 +283,11 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     export_snapshot(
-                        args.lake, args.out, columns=cols, upto_epoch=args.upto_epoch
+                        args.lake,
+                        args.out,
+                        columns=cols,
+                        upto_epoch=args.upto_epoch,
+                        fmt=args.format,
                     )
                 )
             )

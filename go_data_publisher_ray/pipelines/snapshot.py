@@ -140,20 +140,59 @@ def export_snapshot(
     *,
     columns: list[str] | None = None,
     upto_epoch: int | None = None,
+    fmt: str = "parquet",
 ) -> dict:
     """Write the merged current state (or the ``upto_epoch`` time-travel
-    view) as a parquet directory (streaming, one file per
+    view) as a directory of files (streaming, one file per
     partition-merge block) — the bulk-export sink a downstream consumer
-    of the lake would read."""
+    of the lake would read.  ``fmt`` picks the sink: ``parquet``
+    (default), ``csv``, or ``jsonl`` (Ray's native streaming writers —
+    same backpressure, different encoder).  Binary columns don't fit
+    the two text sinks and are hex-encoded there, matching the
+    boundary-only transcode convention of ``sources/jsonl.py`` (M1/M2,
+    `transactions-producer/domain/tx/converter.go` analog)."""
     ds = snapshot(lake_dir, columns=columns, keep_lineage=True, upto_epoch=upto_epoch)
-    ds.write_parquet(out_dir)
-    import pyarrow.parquet as pq
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+        suffix = ".parquet"
+    elif fmt in ("csv", "jsonl"):
 
-    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-    rows = sum(
-        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows for f in files
-    )
-    return {"out_dir": out_dir, "files": len(files), "rows": rows}
+        def hex_binaries(t: pa.Table) -> pa.Table:
+            for i, f in enumerate(t.schema):
+                if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                    t = t.set_column(
+                        i,
+                        f.name,
+                        pa.array(
+                            [
+                                b.hex() if b is not None else None
+                                for b in t.column(f.name).to_pylist()
+                            ],
+                            pa.string(),
+                        ),
+                    )
+            return t
+
+        ds = ds.map_batches(hex_binaries, batch_format="pyarrow")
+        if fmt == "csv":
+            ds.write_csv(out_dir)
+            suffix = ".csv"
+        else:
+            ds.write_json(out_dir)
+            suffix = ".json"
+    else:
+        raise ValueError(f"unknown export format {fmt!r} (parquet|csv|jsonl)")
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(suffix)]
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows for f in files
+        )
+    else:
+        rows = None  # counting text rows would re-read the export
+    return {"out_dir": out_dir, "files": len(files), "rows": rows, "format": fmt}
 
 
 def _combine_keys(t: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:

@@ -50,6 +50,42 @@ def test_export_snapshot(ray_session, small_log, lake_dir, tmp_path):
     assert set(readback.schema.names) == set(want.schema.names)
 
 
+def test_export_snapshot_text_formats(ray_session, small_log, lake_dir, tmp_path):
+    """csv/jsonl export sinks: binary columns hex-encode (the M1/M2
+    boundary transcode convention); row content matches the parquet
+    snapshot exactly after decoding."""
+    import duckdb
+
+    bootstrap(os.path.join(small_log, "base"), lake_dir, P)
+    apply_log(os.path.join(small_log, "events"), lake_dir, stop_after=3)
+    want = snapshot_table(lake_dir).sort_by("url")
+
+    out = export_snapshot(lake_dir, str(tmp_path / "csv"), fmt="csv")
+    assert out["format"] == "csv" and out["files"] > 0
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT * FROM read_csv_auto('{tmp_path}/csv/*.csv') ORDER BY url"
+    ).arrow()
+    assert got.num_rows == want.num_rows
+    assert set(got.schema.names) == set(want.schema.names)
+    # binary html round-trips through hex
+    want_hex = [b.hex() for b in want.column("html").to_pylist()]
+    assert got.column("html").to_pylist() == want_hex
+    assert got.column("text").to_pylist() == want.column("text").to_pylist()
+
+    out = export_snapshot(lake_dir, str(tmp_path / "jsonl"), fmt="jsonl")
+    got = con.sql(
+        f"SELECT * FROM read_json_auto('{tmp_path}/jsonl/*.json') ORDER BY url"
+    ).arrow()
+    assert got.num_rows == want.num_rows
+    assert got.column("html").to_pylist() == want_hex
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown export format"):
+        export_snapshot(lake_dir, str(tmp_path / "x"), fmt="orc")
+
+
 def test_schema_evolution_int_widen(ray_session, tmp_path):
     """F3 widen variant: a side column arrives int32, later epochs send
     it int64 — unify widens, early rows read back as int64."""
