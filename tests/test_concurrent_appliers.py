@@ -1,0 +1,73 @@
+"""Exactly-once under WRITER CONTENTION: two independent driver
+processes race the same change log into the same lake.
+
+The manifest protocol claims this is safe by construction — delta files
+have deterministic names and contents (idempotent overwrite), the epoch
+manifest rename is the single commit point, and a second committer of
+the same epoch re-writes an identical record (the ES ``_id`` overwrite
+analog, `transactions-consumer/consume/transaction_consumer.go:150-154`).
+This test exercises the actual race: both processes run the full
+apply_log concurrently in their own Ray sessions, interleaving
+arbitrarily per epoch, and the final table must equal the replay oracle
+with clean lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from go_data_publisher_ray.pipelines.apply import bootstrap
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.pipelines.verify import (
+    gap_scan,
+    lineage_check,
+    replay_oracle_table,
+    tables_equal,
+)
+from go_data_publisher_ray.state.manifest import Manifest
+
+P = 8
+
+
+def test_two_appliers_race_same_log(ray_session, small_log, lake_dir):
+    base = os.path.join(small_log, "base")
+    events = os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+
+    env = {**os.environ, "RAY_ADDRESS": ""}  # each child owns a session
+    cmd = [
+        sys.executable,
+        "-m",
+        "go_data_publisher_ray.cli",
+        "--num-cpus",
+        "2",
+        "apply",
+        "--events",
+        events,
+        "--lake",
+        lake_dir,
+    ]
+    procs = [
+        subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    # between them the racers covered every epoch exactly once each run
+    # (skips on the loser side are expected); the lake is the oracle state
+    results = [json.loads(o.decode().strip().splitlines()[-1]) for o in outs]
+    epochs_seen = {r["epoch"] for out in results for r in out}
+    man = Manifest(lake_dir)
+    assert sorted(epochs_seen) == man.committed_epochs()
+
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+    assert lineage_check(lake_dir)["mismatches"] == []
+    assert gap_scan(lake_dir)["gaps"] == []
