@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         help="export sink encoding (binary columns hex-encode in csv/jsonl)",
     )
 
+    lk = sub.add_parser("lookup", help="point lookup by primary key (no scan)")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--keys", required=True, help="comma-separated key values")
+    lk.add_argument("--upto-epoch", type=int, default=None)
+
     df = sub.add_parser(
         "diff", help="changefeed between two committed epochs (added/changed/deleted)"
     )
@@ -291,6 +296,25 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        elif args.cmd == "lookup":
+            import pyarrow as pa
+
+            from .pipelines.snapshot import lookup_keys
+            from .state.manifest import Manifest
+
+            man = Manifest(args.lake)
+            kcol = man.merge_spec.key_cols[0]
+            schema = man.load_state().schema
+            raw = args.keys.split(",")
+            ktype = schema.field(kcol).type if schema is not None else pa.string()
+            keys = [int(k) for k in raw] if pa.types.is_integer(ktype) else raw
+            t = lookup_keys(args.lake, keys, upto_epoch=args.upto_epoch)
+            rows = t.to_pylist()
+            for r in rows:
+                for c, v in r.items():
+                    if isinstance(v, bytes):
+                        r[c] = v.hex()
+            print(json.dumps(rows, default=str))
         elif args.cmd == "diff":
             from .pipelines.snapshot import snapshot_diff
 

@@ -394,3 +394,96 @@ def snapshot_table(lake_dir: str, **kwargs) -> pa.Table:
     t = pa.concat_tables([schema_mod.conform(x, unified) for x in tables])
     sort_keys = [(k, "ascending") for k in keys]
     return t.take(pc.sort_indices(t, sort_keys=sort_keys)).combine_chunks()
+
+
+def lookup_keys(
+    lake_dir: str,
+    keys: list,
+    *,
+    columns: list[str] | None = None,
+    upto_epoch: int | None = None,
+) -> pa.Table:
+    """Point lookups by primary key — the search-by-key read the
+    reference serves from ES (S7, `status-service/elastic/
+    client_tick_data.go:25-89` GetTickData), served from the lake
+    without a scan: each key hashes to its partition, and only the
+    touched partitions' base+delta files are opened WITH parquet
+    predicate pushdown (files are key-sorted, so non-matching row
+    groups never decode).  Tombstoned keys return no row; missing keys
+    return no row.
+
+    Raw Ray tasks (one per touched partition), not a Dataset: a point
+    lookup touches at most ``len(keys)`` partitions and returns a
+    result that must be small by definition — the Dataset machinery
+    would cost more than the read.  ``upto_epoch`` gives the
+    time-travel view, same fencing as ``snapshot``."""
+    import ray
+
+    from ..functions.hashing import partition_for
+
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    spec = man.merge_spec
+    if upto_epoch is None:
+        schema = state.schema if state.schema is not None else pa.schema([])
+    else:
+        if not man.has_epoch(upto_epoch):
+            raise ValueError(f"epoch {upto_epoch} is not committed")
+        schema = schema_mod.schema_from_json(man.epoch_record(upto_epoch)["schema"])
+    if spec.has_tombstones and "op" not in schema.names and any(state.deltas.values()):
+        schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
+
+    parts = partition_for(pa.array(keys), man.num_partitions)
+    by_part: dict[int, list] = {}
+    for k, p in zip(keys, parts):
+        by_part.setdefault(int(p), []).append(k)
+
+    schema_json = schema_mod.schema_to_json(schema)
+    spec_dict = spec.to_dict()
+
+    @ray.remote
+    def _lookup_one(payload: str) -> pa.Table:
+        from ..stages.merge import merge_partition_files, strip_internal
+
+        req = json.loads(payload)
+        base = FileEntry.from_dict(req["base"]) if req["base"] else None
+        deltas = [FileEntry.from_dict(d) for d in req["deltas"]]
+        merged = merge_partition_files(
+            lake_dir,
+            base,
+            deltas,
+            schema_mod.schema_from_json(schema_json),
+            keep_tombstones=False,
+            spec=schema_mod.MergeSpec.from_dict(spec_dict),
+            key_in=req["keys"],
+        )
+        return strip_internal(merged)
+
+    refs = []
+    for part, ks in sorted(by_part.items()):
+        base, deltas = state.live_files(part, upto_epoch)
+        if base is None and not deltas:
+            continue
+        refs.append(
+            _lookup_one.remote(
+                json.dumps(
+                    {
+                        "base": base.to_dict() if base else None,
+                        "deltas": [d.to_dict() for d in deltas],
+                        "keys": ks,
+                    }
+                )
+            )
+        )
+    out_schema = schema
+    if "op" in out_schema.names:
+        out_schema = out_schema.remove(out_schema.get_field_index("op"))
+    tables = ray.get(refs) if refs else []
+    out = (
+        pa.concat_tables([t.cast(out_schema) for t in tables])
+        if tables
+        else out_schema.empty_table()
+    )
+    if columns:
+        out = out.select(columns)
+    return out

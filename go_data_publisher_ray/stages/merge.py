@@ -508,6 +508,7 @@ def merge_partition_files(
     keep_tombstones: bool,
     columns: list[str] | None = None,
     spec: MergeSpec = PAGES_SPEC,
+    key_in: list | None = None,
 ) -> pa.Table:
     """Read one partition's live base+delta files and produce its merged
     view (vectorized concat -> spec-driven collapse).  Used by both the
@@ -516,12 +517,19 @@ def merge_partition_files(
     For tombstoned entities, base rows have no ``op`` column (base
     files only hold live rows); they are treated as op='insert' during
     the merge.
+
+    ``key_in`` restricts the read to the given primary-key values with
+    parquet predicate pushdown (files are key-sorted, so only matching
+    row groups decode) — the point-lookup path.  Collapsing a key's full
+    version set is unaffected: every version of a kept key passes the
+    filter, so the LWW winner is identical to the full merge's.
     """
     from ..schema import conform
 
+    filters = [(spec.key_cols[0], "in", list(key_in))] if key_in is not None else None
     tables = []
     for fe, is_base in ([(base, True)] if base else []) + [(f, False) for f in deltas]:
-        t = pq.read_table(os.path.join(lake_dir, fe.path))
+        t = pq.read_table(os.path.join(lake_dir, fe.path), filters=filters)
         if spec.has_tombstones and "op" not in t.schema.names:
             op = pa.nulls(t.num_rows, pa.string()).fill_null("insert")
             t = t.append_column("op", op)
