@@ -153,6 +153,17 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--to-epoch", type=int, required=True)
     df.add_argument("--out", default=None, help="also write the change rows as parquet")
 
+    pb = sub.add_parser(
+        "publish", help="emit per-epoch changefeed parquet beyond the publish cursor"
+    )
+    pb.add_argument("--lake", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument(
+        "--value-cols",
+        default=None,
+        help="comma-separated payload columns to carry as old_*/new_*",
+    )
+
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
     st.add_argument(
@@ -336,6 +347,11 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "publish":
+            from .pipelines.publish import publish_changefeed
+
+            vcols = tuple(args.value_cols.split(",")) if args.value_cols else ()
+            print(json.dumps(publish_changefeed(args.lake, args.out, value_cols=vcols)))
         elif args.cmd == "status":
             from .pipelines.tail import serve_status, status
 

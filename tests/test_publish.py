@@ -1,0 +1,105 @@
+"""Outgoing changefeed publisher: a downstream consumer that bootstraps
+from the first-epoch snapshot and applies the published feeds in order
+must reconstruct the lake's final state exactly (the producer-side
+replay-equivalence mirror of the apply tests)."""
+
+from __future__ import annotations
+
+import os
+
+from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
+from go_data_publisher_ray.pipelines.publish import publish_changefeed
+from go_data_publisher_ray.pipelines.snapshot import snapshot_table
+from go_data_publisher_ray.state.manifest import read_json
+
+P = 8
+VALUE_COLS = ("text", "lang", "html")
+
+
+def _consume(feed_dir: str, state: dict, key: str = "url") -> dict:
+    """Reference downstream consumer: deleted removes, else upsert new_*."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(feed_dir)
+    for r in t.to_pylist():
+        if r["change"] == "deleted":
+            state.pop(r[key], None)
+        else:
+            state[r[key]] = {
+                key: r[key],
+                **{c: r[f"new_{c}"] for c in ("warc_ts", "lsn") + VALUE_COLS},
+            }
+    return state
+
+
+def test_publish_reconstructs_final_state(ray_session, small_log, lake_dir, tmp_path):
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=4)
+
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    b = out["bootstrap_epoch"]
+    assert [p["epoch"] for p in out["published"]] == [e for e in range(10) if b < e <= 3]
+
+    # incremental: later epochs publish on a second call; re-run is a no-op
+    apply_log(events, lake_dir)
+    out2 = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    assert out2["published"] and out2["published"][0]["from_epoch"] == 3
+    assert publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)["published"] == []
+    cursor = read_json(os.path.join(feed, "_cursor.json"))
+    assert cursor["upto"] == 9 and cursor["bootstrap_epoch"] == b
+
+    # downstream replay: snapshot as of the bootstrap epoch + feeds in order
+    init = snapshot_table(lake_dir, upto_epoch=b)
+    state = {
+        r["url"]: {c: r[c] for c in ("url", "warc_ts", "lsn") + VALUE_COLS}
+        for r in init.to_pylist()
+    }
+    for e in sorted(
+        int(d.split("=")[1]) for d in os.listdir(feed) if d.startswith("epoch=")
+    ):
+        _consume(os.path.join(feed, f"epoch={e}"), state)
+
+    want = {
+        r["url"]: {c: r[c] for c in ("url", "warc_ts", "lsn") + VALUE_COLS}
+        for r in snapshot_table(lake_dir).to_pylist()
+    }
+    assert state == want
+
+
+def test_publish_idempotent_after_partial_crash(ray_session, small_log, lake_dir, tmp_path):
+    """A crash between feed rename and cursor write re-advances the
+    cursor without rewriting (existing epoch dirs are the publish
+    truth); a leftover temp dir from a crash mid-write is rebuilt."""
+    import shutil
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=3)
+    publish_changefeed(lake_dir, feed)
+
+    # simulate crash: roll the cursor back one epoch and plant a stale tmp
+    cpath = os.path.join(feed, "_cursor.json")
+    cursor = read_json(cpath)
+    import json
+
+    with open(cpath, "w") as f:
+        json.dump({**cursor, "upto": cursor["upto"] - 1}, f)
+    stale = os.path.join(feed, f"epoch={cursor['upto']}.tmp-publish")
+    os.makedirs(stale)
+
+    before = sorted(os.listdir(os.path.join(feed, f"epoch={cursor['upto']}")))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(feed, f"epoch={cursor['upto']}", f))
+        for f in before
+    }
+    out = publish_changefeed(lake_dir, feed)
+    assert [p["epoch"] for p in out["published"]] == [cursor["upto"]]
+    after = sorted(os.listdir(os.path.join(feed, f"epoch={cursor['upto']}")))
+    assert after == before  # not rewritten
+    for f in after:
+        assert os.path.getmtime(os.path.join(feed, f"epoch={cursor['upto']}", f)) == mtimes[f]
+    assert not os.path.exists(stale)
+    assert read_json(cpath)["upto"] == cursor["upto"]
