@@ -3755,3 +3755,151 @@ def cdc_ttl_retention(sf_dir: str):
         )
 
     return ds.groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+def _point_lookup_sql() -> str:
+    """Flagship replay restricted to the deterministic lookup key set
+    (urls whose md5 starts with '0' — ~1/16 of the key space, derivable
+    on both sides without shipping a list)."""
+    fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
+    return f"""
+    WITH src AS (
+      SELECT url, warc_ts, html, text, lang, lsn, 'insert' AS op
+      FROM parquet_scan('{fix}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT * EXCLUDE (epoch)
+      FROM parquet_scan('{fix}/events/epoch=*/*.parquet', union_by_name=true))
+    SELECT url, warc_ts, lsn, lang, text, md5(lower(hex(html))) AS html_md5 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+      FROM src)
+    WHERE rn = 1 AND op <> 'delete' AND md5(url) LIKE '0%'
+    """
+
+
+@query("cdc_point_lookup", _point_lookup_sql())
+def cdc_point_lookup(sf_dir: str):
+    """Point lookups through the REAL read path (`snapshot.lookup_keys`:
+    key→partition hash, pushdown-filtered file reads, LWW merge,
+    tombstones honored) against the flagship lake — the S7
+    search-by-key analog, oracle-checked end to end.  The key set is
+    every url (base or events) whose md5 starts with '0', so both
+    engines derive it independently; tombstoned keys in the set simply
+    return no row."""
+    import pyarrow.parquet as pq_
+
+    from .apply import apply_log, bootstrap
+    from .snapshot import lookup_keys
+
+    spec = _flagship_spec()
+    fixture = flagship_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", spec.tag())
+    bootstrap(os.path.join(fixture, "base"), lake, 8)
+    apply_log(os.path.join(fixture, "events"), lake)
+
+    urls: set[str] = set()
+    for sub in ("base", "events"):
+        root = os.path.join(fixture, sub)
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    urls.update(
+                        pq_.read_table(os.path.join(dirpath, f), columns=["url"])
+                        .column("url")
+                        .to_pylist()
+                    )
+    allu = sorted(urls)
+    hs = md5_hex_array(pa.array(allu))
+    keys = [u for u, h in zip(allu, hs) if h.startswith("0")]
+
+    got = lookup_keys(lake, keys)
+    from ..functions.hashing import md5_hex_bytes_array
+
+    return pa.table(
+        {
+            "url": got.column("url"),
+            "warc_ts": got.column("warc_ts"),
+            "lsn": got.column("lsn"),
+            "lang": got.column("lang"),
+            "text": got.column("text"),
+            "html_md5": pa.array(md5_hex_bytes_array(got.column("html"))),
+        }
+    )
+
+
+@query(
+    "join_fact_fact_revenue",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+             AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_fact_fact_revenue(sf_dir: str):
+    """Fact-to-fact distributed hash join (lineitem x orders — NEITHER
+    side broadcastable at 100x): native `Dataset.join` hash-partitions
+    both sides on the order key, then per-batch partial aggregation
+    collapses the joined stream before the tiny per-status groupby —
+    the join shuffle moves only the pruned columns, the aggregate
+    shuffle moves |statuses| rows per batch.  Revenue in integer cents
+    (floor) keeps the sum exact and order-independent."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        g = (
+            pa.table({"o_orderstatus": t.column("o_orderstatus"), "c": pa.array(cents)})
+            .group_by("o_orderstatus")
+            .aggregate([("c", "sum"), ("c", "count")])
+        )
+        return g.rename_columns(["o_orderstatus", "p_rev", "p_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(*_agg(n_items=("sum", "p_n"), revenue_cents=("sum", "p_rev")))
+    )
+
+
+@query(
+    "agg_distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def agg_distinct_users_per_type(sf_dir: str):
+    """EXACT distributed count-distinct: per-batch local dedup of
+    (type, user) pairs (the combiner — shuffle volume is bounded by the
+    distinct count per batch, not the row count), one groupby to dedup
+    globally, then a tiny per-type count.  The approximate counterpart
+    at unbounded cardinality is q: `sketch_kmv_distinct` — same plan,
+    bounded state."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(*_agg(n="count"))
+    )
+    return pairs.groupby("event_type").aggregate(*_agg(n_users="count"))
