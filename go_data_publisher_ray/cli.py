@@ -140,6 +140,12 @@ def main(argv: list[str] | None = None) -> int:
         help="export sink encoding (binary columns hex-encode in csv/jsonl)",
     )
 
+    er = sub.add_parser(
+        "erase", help="physically remove keys from state AND history (GDPR)"
+    )
+    er.add_argument("--lake", required=True)
+    er.add_argument("--keys", required=True, help="comma-separated key values")
+
     lk = sub.add_parser("lookup", help="point lookup by primary key (no scan)")
     lk.add_argument("--lake", required=True)
     lk.add_argument("--keys", required=True, help="comma-separated key values")
@@ -307,6 +313,10 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        elif args.cmd == "erase":
+            from .pipelines.maintain import erase_keys
+
+            print(json.dumps(erase_keys(args.lake, args.keys.split(","))))
         elif args.cmd == "lookup":
             import pyarrow as pa
 

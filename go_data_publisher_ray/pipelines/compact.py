@@ -94,8 +94,12 @@ def compact(
     *,
     min_deltas: int = 1,
     concurrency: int = 8,
+    parts: set[int] | None = None,
 ) -> dict:
-    """Compact every partition holding >= min_deltas live delta files.
+    """Compact every partition holding >= min_deltas live delta files
+    (``parts`` restricts to a partition subset — the targeted fold the
+    key-erasure path uses so one erased url doesn't rewrite the whole
+    lake).
 
     The actor pool is capped so each actor amortizes its process
     startup over >=4 partitions — spinning one actor per partition
@@ -112,6 +116,8 @@ def compact(
 
     items = []
     for part in range(man.num_partitions):
+        if parts is not None and part not in parts:
+            continue
         base, deltas = state.live_files(part)
         if len(deltas) < min_deltas:
             continue

@@ -164,3 +164,88 @@ def repartition_lake(
         "resumes_after_epoch": watermark,
         "sec": time.perf_counter() - t0,
     }
+
+
+def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
+    """Right-to-be-forgotten erasure: physically remove every byte of
+    the given keys from the lake — current state AND history.
+
+    Composed from the engine's own primitives, in order:
+
+    1. an administrative tombstone epoch (``max committed + 1``) whose
+       order columns are bumped past the keys' current winners, applied
+       through the normal idempotent path (so the erasure itself is
+       crash-safe and replayable);
+    2. a TARGETED compaction of only the touched partitions — folding
+       drops tombstones and every historical version, and raises those
+       partitions' compaction horizon past all prior epochs, so
+       time-travel/changefeed reads that could resurface the key are
+       refused from now on;
+    3. ``vacuum`` to delete the superseded files that still hold the
+       key's bytes.
+
+    The tombstone epoch claims a position in the lake's epoch sequence:
+    run erasure on a caught-up lake (or renumber upstream epochs past
+    it), exactly like any administrative commit in a log-ordered system.
+    Entities without tombstone semantics cannot be erased this way and
+    raise.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import partition_for
+    from .apply import apply_epoch
+    from .compact import compact
+    from .snapshot import lookup_keys
+
+    man = Manifest(lake_dir)
+    spec = man.merge_spec
+    if not spec.has_tombstones:
+        raise ValueError(
+            f"entity with merge spec {spec.to_dict()} has no tombstone "
+            "semantics; key erasure is undefined for it"
+        )
+    state = man.load_state()
+    epochs = state.committed_epochs
+    kcol = spec.key_cols[0]
+    # partitions of EVERY requested key: a key the upstream log already
+    # tombstoned has no live row but its historical versions still sit
+    # in that partition's delta files — they must fold and vacuum too
+    parts = {int(p) for p in partition_for(pa.array(keys), man.num_partitions)}
+    current = lookup_keys(lake_dir, keys)
+    erase_epoch = None
+
+    if current.num_rows:
+        erase_epoch = max(epochs, default=-1) + 1
+        # tombstones that win LWW: bump every order column of the
+        # current winner (timestamps +1us, integers +1)
+        cols = {kcol: current.column(kcol)}
+        for oc in spec.order_cols:
+            col = current.column(oc)
+            if pa.types.is_timestamp(col.type):
+                bumped = pa.compute.add(col, pa.scalar(1, pa.duration(col.type.unit)))
+            else:
+                bumped = pa.compute.add(col, 1)
+            cols[oc] = bumped.cast(col.type)
+        cols["op"] = pa.array(["delete"] * current.num_rows, pa.string())
+        tomb = pa.table(cols)
+
+        edir = os.path.join(lake_dir, "_erasure", f"epoch={erase_epoch}")
+        os.makedirs(edir, exist_ok=True)
+        pq.write_table(tomb, os.path.join(edir, "part-0.parquet"))
+        apply_epoch(os.path.join(lake_dir, "_erasure"), lake_dir, erase_epoch)
+
+    comp = compact(lake_dir, parts=parts, min_deltas=1)
+    # the administrative epoch dir itself holds the keys (as tombstone
+    # rows) — once committed and folded it has no further use; remove it
+    # so no byte of the key survives anywhere under the lake root
+    import shutil
+
+    shutil.rmtree(os.path.join(lake_dir, "_erasure"), ignore_errors=True)
+    out = {
+        "erased": current.num_rows,
+        "epoch": erase_epoch,
+        "compacted_partitions": comp["compacted_partitions"],
+    }
+    if vacuum_after:
+        out["vacuum"] = vacuum(lake_dir)
+    return out

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
@@ -127,3 +128,70 @@ def test_repartition_refuses_sharded_and_existing(ray_session, small_log, tmp_pa
     bootstrap(base, plain, P)
     with pytest.raises(ValueError, match="already exists"):
         repartition_lake(plain, plain, 2 * P)
+
+
+def test_erase_keys_physically_removes(ray_session, small_log, lake_dir):
+    """GDPR erasure: no byte of the erased url survives anywhere under
+    the lake root — not in the live view, not in history, not in any
+    file on disk — and history reads that could resurface it are
+    refused."""
+    import glob
+
+    import pytest
+
+    from go_data_publisher_ray.pipelines.maintain import erase_keys
+    from go_data_publisher_ray.pipelines.snapshot import lookup_keys, snapshot
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    full = snapshot_table(lake_dir)
+    urls = sorted(full.column("url").to_pylist())
+    victims = [urls[0], urls[-1]]
+    survivors_rows = full.num_rows - 2
+
+    r = erase_keys(lake_dir, victims)
+    assert r["erased"] == 2
+    assert r["vacuum"]["files_deleted"] > 0
+
+    # gone from state and point reads
+    after = snapshot_table(lake_dir)
+    assert after.num_rows == survivors_rows
+    assert set(victims).isdisjoint(after.column("url").to_pylist())
+    assert lookup_keys(lake_dir, victims).num_rows == 0
+
+    # gone from every file on disk under the lake root: value-level scan
+    # of each parquet (raw-byte grep would pass vacuously on compressed
+    # pages) plus a raw-byte check for the uncompressed footer/stats
+    needles = [v.encode() for v in victims]
+    files = glob.glob(os.path.join(lake_dir, "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        t = pq.read_table(f)
+        for col in t.schema.names:
+            if t.schema.field(col).type == pa.string():
+                vals = set(t.column(col).to_pylist())
+                assert vals.isdisjoint(victims), f"{col} of {f}"
+        blob = open(f, "rb").read()
+        for n in needles:
+            assert n not in blob, f"{n!r} survives in {f}"
+
+    # history that contained the key is unreadable (horizon moved)
+    with pytest.raises(ValueError, match="compaction"):
+        snapshot(lake_dir, upto_epoch=0).count()
+
+    # untouched keys unchanged vs the pre-erasure view
+    keep = full.filter(
+        pc.invert(pc.is_in(full.column("url"), value_set=pa.array(victims)))
+    )
+    ok, msg = tables_equal(keep, after)
+    assert ok, msg
+
+    # idempotent: erasing again is a no-op
+    r2 = erase_keys(lake_dir, victims)
+    assert r2["erased"] == 0 and r2["epoch"] is None
+
+    # the lake keeps working: later lookups, snapshots, lineage
+    from go_data_publisher_ray.pipelines.verify import lineage_check
+
+    assert lineage_check(lake_dir)["mismatches"] == []
