@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--lake", required=True)
     t.add_argument("--poll", type=float, default=1.0)
     t.add_argument("--max-idle", type=int, default=3)
+    t.add_argument(
+        "--publish-to",
+        default=None,
+        help="relay mode: publish each applied epoch's changefeed here",
+    )
+    t.add_argument("--publish-value-cols", default=None)
 
     c = sub.add_parser("compact", help="fold deltas into new base files")
     c.add_argument("--lake", required=True)
@@ -279,11 +285,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "tail":
             from .pipelines.tail import tail
 
+            vcols = (
+                tuple(args.publish_value_cols.split(","))
+                if args.publish_value_cols
+                else ()
+            )
             out = tail(
                 args.events,
                 args.lake,
                 poll_interval=args.poll,
                 max_idle_polls=args.max_idle,
+                publish_to=args.publish_to,
+                publish_value_cols=vcols,
             )
             print(json.dumps(out))
         elif args.cmd == "compact":

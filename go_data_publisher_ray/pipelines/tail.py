@@ -49,6 +49,8 @@ def tail(
     poll_interval: float = 1.0,
     max_idle_polls: int | None = 3,
     salt: int = 0,
+    publish_to: str | None = None,
+    publish_value_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Apply new epochs as they appear, and force-reapply committed
     epochs whose directories grew (late files); at-least-once +
@@ -59,7 +61,13 @@ def tail(
     be force-reapplied (the delta would be invisible — see
     ``apply_epoch``); the refusal is recorded in the results instead of
     crashing the tail loop, so the operator can re-submit the late rows
-    as a new epoch."""
+    as a new epoch.
+
+    ``publish_to`` turns the tail into a full CDC RELAY: after each
+    round of newly applied epochs, the per-epoch changefeed is
+    published to that directory (``pipelines/publish.py``) — the
+    upstream-log-consumer and downstream-feed-producer halves of the
+    reference running as one loop."""
     results: list[dict] = []
     idle = 0
     # Epochs whose force-reapply was refused (already compacted).  Their
@@ -85,6 +93,19 @@ def tail(
         if pending:
             results.extend(apply_log(events_dir, lake_dir, salt=salt))
             progressed = True
+        if progressed and publish_to is not None:
+            # continuous CDC relay: every newly committed epoch is
+            # immediately re-published as a downstream feed — consume
+            # upstream log -> lake -> publish, the reference's
+            # producer+consumer pair in one loop (idempotent on both
+            # sides, so a crash anywhere re-converges)
+            from .publish import publish_changefeed
+
+            pub = publish_changefeed(
+                lake_dir, publish_to, value_cols=publish_value_cols
+            )
+            if pub["published"]:
+                results.append({"published": pub["published"]})
         if progressed:
             idle = 0
         else:

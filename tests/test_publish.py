@@ -103,3 +103,39 @@ def test_publish_idempotent_after_partial_crash(ray_session, small_log, lake_dir
         assert os.path.getmtime(os.path.join(feed, f"epoch={cursor['upto']}", f)) == mtimes[f]
     assert not os.path.exists(stale)
     assert read_json(cpath)["upto"] == cursor["upto"]
+
+
+def test_tail_relay_publishes_incrementally(ray_session, small_log, lake_dir, tmp_path):
+    """tail(publish_to=...) is a full CDC relay: epochs appearing in the
+    upstream log stream through the lake into downstream feeds within
+    the same loop."""
+    import shutil
+
+    from go_data_publisher_ray.pipelines.tail import tail
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    staged = str(tmp_path / "staged_events")
+    feed = str(tmp_path / "feed")
+    os.makedirs(staged)
+    bootstrap(base, lake_dir, P)
+
+    # stage half the log, relay it, then stage the rest and relay again
+    epochs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(events) if d.startswith("epoch=")
+    )
+    for e in epochs[:5]:
+        shutil.copytree(os.path.join(events, f"epoch={e}"), os.path.join(staged, f"epoch={e}"))
+    r1 = tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed)
+    pubs1 = [p for r in r1 if "published" in r for p in r["published"]]
+    assert [p["epoch"] for p in pubs1] == epochs[1:5]  # first epoch = bootstrap cursor
+
+    for e in epochs[5:]:
+        shutil.copytree(os.path.join(events, f"epoch={e}"), os.path.join(staged, f"epoch={e}"))
+    r2 = tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed)
+    pubs2 = [p for r in r2 if "published" in r for p in r["published"]]
+    assert [p["epoch"] for p in pubs2] == epochs[5:]
+
+    on_disk = sorted(
+        int(d.split("=")[1]) for d in os.listdir(feed) if d.startswith("epoch=")
+    )
+    assert on_disk == epochs[1:]
