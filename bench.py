@@ -77,6 +77,11 @@ DEFAULT_BENCH_QUERIES = [
     "ann_ivf_assign",
     "ann_kmeans_cells",
     "multimodal_decode_meta",
+    # round 3 additions: fact-fact shuffle join, segmented window scan,
+    # the corpus->training-example explode
+    "join_fact_fact_revenue",
+    "window_running_sum",
+    "text_chunk_fixed",
 ]
 
 

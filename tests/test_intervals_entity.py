@@ -205,3 +205,49 @@ def test_intervals_changefeed_composite_key(ray_session, intervals_log, lake_dir
     assert (got["new_to_lsn"].values >= got["old_to_lsn"].values).all()
     want_keys = set(zip(want.epoch_id, want.from_lsn))
     assert set(zip(got.epoch_id, got.from_lsn)) == want_keys
+
+
+def test_intervals_maintenance_surfaces(ray_session, intervals_log, tmp_path):
+    """The round-3 surfaces are spec-generic: lookup by the partition
+    key prefix, repartition, vacuum — and erasure is refused for an
+    entity without tombstone semantics."""
+    from go_data_publisher_ray.pipelines.maintain import (
+        erase_keys,
+        repartition_lake,
+        vacuum,
+    )
+    from go_data_publisher_ray.pipelines.snapshot import lookup_keys
+
+    base_dir, events_dir = intervals_log
+    src = str(tmp_path / "src")
+    bootstrap(base_dir, src, P, merge_spec=INTERVALS_SPEC)
+    apply_log(events_dir, src)
+    full = snapshot_table(src)
+
+    # point lookup by epoch_id (the key prefix = partition column):
+    # returns every interval of that group, merged
+    got = lookup_keys(src, [7, 21])
+    want = full.filter(
+        pa.compute.is_in(full.column("epoch_id"), value_set=pa.array([7, 21]))
+    )
+    assert got.sort_by("from_lsn").equals(
+        want.sort_by("from_lsn").select(got.schema.names).cast(got.schema)
+    )
+
+    # repartition to 3x, same merged state, resumes the log
+    dst = str(tmp_path / "dst")
+    r = repartition_lake(src, dst, 3 * P)
+    assert r["partitions"] <= 3 * P  # empty partitions write no base
+    a = snapshot_table(src).sort_by([("epoch_id", "ascending"), ("from_lsn", "ascending")])
+    b = snapshot_table(dst).sort_by([("epoch_id", "ascending"), ("from_lsn", "ascending")])
+    assert a.equals(b.select(a.schema.names).cast(a.schema))
+
+    # compaction + vacuum leave the view intact
+    compact(src)
+    assert vacuum(src)["files_deleted"] > 0
+    c = snapshot_table(src).sort_by([("epoch_id", "ascending"), ("from_lsn", "ascending")])
+    assert a.equals(c.select(a.schema.names).cast(a.schema))
+
+    # no tombstones -> erasure is undefined and refused loudly
+    with pytest.raises(ValueError, match="tombstone"):
+        erase_keys(src, [7])
