@@ -3903,3 +3903,62 @@ def agg_distinct_users_per_type(sf_dir: str):
         .aggregate(*_agg(n="count"))
     )
     return pairs.groupby("event_type").aggregate(*_agg(n_users="count"))
+
+
+@query(
+    "window_rank_top3_orders",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_top3_orders(sf_dir: str):
+    """Per-row RANK window function (top-3 orders per customer by
+    price): the same segmented-scan shape as the other per-row window
+    queries — customers hash into exchange buckets, ONE vectorized sort
+    + arange-minus-segment-start rank per bucket, then a rank filter.
+    Unlike `top1_latest_order_per_customer` (an aggregate), this keeps
+    per-ROW output with ranks, the shape training pipelines use for
+    per-group candidate pruning."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column("ubucket", pa.array(u % _WINDOW_BUCKETS))
+
+    def rank(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("o_custkey", "ascending"),
+                    ("o_totalprice", "descending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+        )
+        u = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u)))
+        rnk = np.arange(len(u), dtype=np.int64) - np.repeat(starts, counts) + 1
+        keep = rnk <= 3
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey").filter(pa.array(keep)),
+                "o_orderkey": g.column("o_orderkey").filter(pa.array(keep)),
+                "rnk": pa.array(rnk[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
