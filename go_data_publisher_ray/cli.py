@@ -40,6 +40,23 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+
+def _typed_keys(lake_dir: str, raw: str) -> list:
+    """Parse a comma-separated key list, cast to the lake's key-column
+    type (integer-keyed entities hash int(5), not '5' — a string key
+    would probe the wrong partition)."""
+    import pyarrow as pa
+
+    from .state.manifest import Manifest
+
+    man = Manifest(lake_dir)
+    kcol = man.merge_spec.key_cols[0]
+    schema = man.load_state().schema
+    parts = raw.split(",")
+    ktype = schema.field(kcol).type if schema is not None else pa.string()
+    return [int(k) for k in parts] if pa.types.is_integer(ktype) else parts
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="go_data_publisher_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -329,20 +346,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "erase":
             from .pipelines.maintain import erase_keys
 
-            print(json.dumps(erase_keys(args.lake, args.keys.split(","))))
+            print(json.dumps(erase_keys(args.lake, _typed_keys(args.lake, args.keys))))
         elif args.cmd == "lookup":
-            import pyarrow as pa
-
             from .pipelines.snapshot import lookup_keys
-            from .state.manifest import Manifest
 
-            man = Manifest(args.lake)
-            kcol = man.merge_spec.key_cols[0]
-            schema = man.load_state().schema
-            raw = args.keys.split(",")
-            ktype = schema.field(kcol).type if schema is not None else pa.string()
-            keys = [int(k) for k in raw] if pa.types.is_integer(ktype) else raw
-            t = lookup_keys(args.lake, keys, upto_epoch=args.upto_epoch)
+            t = lookup_keys(
+                args.lake, _typed_keys(args.lake, args.keys), upto_epoch=args.upto_epoch
+            )
             rows = t.to_pylist()
             for r in rows:
                 for c, v in r.items():

@@ -512,11 +512,27 @@ def apply_log(
     shard = _resolve_shard(man, shard if shard is not None else _shard_from_env())
     sweep_orphan_spill(lake_dir, man)
     done = set(man.committed_epochs())
+    horizon = man.compaction_horizon()  # once per run, not per epoch
+    admin = man.admin_epochs
     results = []
     applied = 0
     for epoch in discover_epochs(events_dir):
+        if epoch in admin:
+            # an upstream epoch dir colliding with an administrative
+            # (erasure) epoch would be silently swallowed by the
+            # skip-committed check — that is upstream data LOSS, so fail
+            # loudly instead (see maintain.erase_keys docstring)
+            raise ValueError(
+                f"upstream epoch {epoch} collides with administrative "
+                f"epoch {epoch} (key erasure); renumber upstream epochs "
+                f"past {max(admin)} or re-submit this epoch under a new "
+                "number"
+            )
         if epoch in done:
             results.append({"epoch": epoch, "skipped": True})
+            continue
+        if epoch <= horizon:
+            results.append({"epoch": epoch, "skipped": True, "folded": True})
             continue
         results.append(
             apply_epoch_adaptive(

@@ -28,8 +28,8 @@ import time
 import pyarrow as pa
 
 from .. import schema as schema_mod
-from ..stages.merge import AddPartitionAndCombine, BaseWriter
-from ..state.manifest import Manifest, read_json
+from ..stages.merge import AddPartitionAndCombine, BaseWriter, atomic_write_parquet
+from ..state.manifest import FileEntry, Manifest, read_json
 from .apply import _stats_to_entries
 from .snapshot import snapshot
 
@@ -156,6 +156,21 @@ def repartition_lake(
     base_schema = state.schema if state.schema is not None else pa.schema([])
     if "op" in base_schema.names:
         base_schema = base_schema.remove(base_schema.get_field_index("op"))
+    # partitions that received zero rows still need a (zero-row) base
+    # entry: compaction_horizon() is the min over ALL partitions, so one
+    # absent partition would silently drop the resume fence to -1 and
+    # apply_log would re-apply the entire already-ingested change log
+    present = {e.partition for e in entries}
+    for part in range(num_partitions):
+        if part in present:
+            continue
+        rel = os.path.join(f"part={part:05d}", "base_c000000.parquet")
+        abspath = os.path.join(dst_lake, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        size = atomic_write_parquet(base_schema.empty_table(), abspath)
+        entries.append(
+            FileEntry(path=rel, partition=part, rows=0, bytes=size, max_lsn=0)
+        )
     man_dst.commit_compaction(watermark, entries, base_schema, cid=0)
     return {
         "partitions": len(entries),
@@ -232,6 +247,10 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
         edir = os.path.join(lake_dir, "_erasure", f"epoch={erase_epoch}")
         os.makedirs(edir, exist_ok=True)
         pq.write_table(tomb, os.path.join(edir, "part-0.parquet"))
+        # register the claimed number FIRST: if the upstream log later
+        # produces an epoch with this number, apply_log refuses loudly
+        # instead of silently skipping it as already-committed
+        man.record_admin_epoch(erase_epoch)
         apply_epoch(os.path.join(lake_dir, "_erasure"), lake_dir, erase_epoch)
 
     comp = compact(lake_dir, parts=parts, min_deltas=1)

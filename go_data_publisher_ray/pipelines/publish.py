@@ -98,3 +98,43 @@ def publish_changefeed(
         "bootstrap_epoch": cursor["bootstrap_epoch"],
         "sec": time.perf_counter() - t0,
     }
+
+
+def invalidate_feeds_from(out_dir: str, epoch: int) -> dict:
+    """Invalidate published feeds from ``epoch`` onward after a
+    force-reapply (late data) changed the lake's as-of state at that
+    epoch and beyond: deletes the stale ``epoch>=E`` feed dirs and rolls
+    the cursor back so the next ``publish_changefeed`` rebuilds them as
+    fresh diffs.  The downstream contract is replay-from-offset: a
+    republished epoch dir means re-consume from there (consumption is
+    keyed upserts/deletes, so re-consuming converges).
+
+    If ``epoch`` is at or before the feed's bootstrap epoch the initial
+    snapshot itself is stale — everything is removed (cursor included)
+    and ``resync_required`` tells the operator the downstream must
+    re-bootstrap from a fresh snapshot.
+    """
+    import shutil
+
+    cpath = _cursor_path(out_dir)
+    if not os.path.exists(cpath):
+        return {"invalidated": []}
+    cursor = read_json(cpath)
+
+    published = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp-publish")
+    )
+    stale = [e for e in published if e >= epoch]
+    for e in stale:
+        shutil.rmtree(os.path.join(out_dir, f"epoch={e}"), ignore_errors=True)
+
+    if epoch <= cursor["bootstrap_epoch"]:
+        os.remove(cpath)
+        return {"invalidated": stale, "resync_required": True}
+
+    remaining = [e for e in published if e < epoch]
+    cursor["upto"] = max(remaining, default=cursor["bootstrap_epoch"])
+    atomic_write_json(cpath, cursor)
+    return {"invalidated": stale, "cursor_upto": cursor["upto"]}

@@ -44,6 +44,19 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+
+def _join_partitions(sf_dir: str, *tables: str) -> int:
+    """Join partition count sized to the pruned input (~256 MiB per
+    partition, floor 8): each partition is a join actor, and at small
+    inputs actor startup dominates (measured 3.5s @8 vs 9.7s @32
+    partitions on sf0.1 for lineitem x orders); at 100 TB the byte rule
+    takes over and partitions scale with the data."""
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    return int(max(8, total // (256 << 20)))
+
+
 def _rd():
     import ray.data as rd
 
@@ -527,7 +540,7 @@ def join_orders_by_region_bucketed(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=32,
+        num_partitions=_join_partitions(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -734,7 +747,7 @@ def anti_join_clicks_no_purchase_bucketed(sf_dir: str):
     return day_pairs("click").join(
         day_pairs("purchase"),
         join_type="left_anti",
-        num_partitions=32,
+        num_partitions=_join_partitions(sf_dir, "events"),
         on=("user_id", "day"),
     )
 
@@ -3055,7 +3068,7 @@ def join_salted_events_by_nation(sf_dir: str):
     joined = events.map_batches(add_salt, batch_format="pyarrow").join(
         cust_salted,
         join_type="inner",
-        num_partitions=32,
+        num_partitions=_join_partitions(sf_dir, "events", "customer"),
         on=("user_id", "salt"),
         right_on=("c_custkey", "salt"),
     )
@@ -3848,19 +3861,10 @@ def join_fact_fact_revenue(sf_dir: str):
     (floor) keeps the sum exact and order-independent."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    # join partitions sized to the data (~256 MiB of pruned input per
-    # partition), floored at 8: each partition is a join actor, and at
-    # small inputs actor startup dominates (measured 3.5s @8 vs 9.7s
-    # @32 partitions on sf0.1); at 100 TB the byte rule takes over
-    total_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("lineitem", "orders")
-    )
-    nparts = int(max(8, total_bytes // (256 << 20)))
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=nparts,
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -78,34 +78,58 @@ def tail(
     while True:
         man = Manifest(lake_dir)
         done = set(man.committed_epochs())
-        pending = [e for e in discover_epochs(events_dir) if e not in done]
+        horizon = man.compaction_horizon()
+        # epochs at/below the horizon are folded (e.g. a repartitioned
+        # lake): they never gain an epoch record, so without this filter
+        # they'd read as pending every poll — a 100% CPU hot spin with
+        # an unbounded results list (same class as the `refused` set)
+        pending = [
+            e for e in discover_epochs(events_dir) if e not in done and e > horizon
+        ]
         grown = [e for e in _grown_epochs(man, events_dir, done) if e not in refused]
         progressed = False
+        regrown_ok: list[int] = []
         for e in grown:
             try:
                 r = apply_epoch(events_dir, lake_dir, e, salt=salt, force=True)
                 r["regrown"] = True
                 results.append(r)
+                regrown_ok.append(e)
                 progressed = True
             except ValueError as exc:
                 refused.add(e)  # record ONCE; counts as idle thereafter
                 results.append({"epoch": e, "regrown": True, "refused": str(exc)})
         if pending:
-            results.extend(apply_log(events_dir, lake_dir, salt=salt))
-            progressed = True
-        if progressed and publish_to is not None:
+            rs = apply_log(events_dir, lake_dir, salt=salt)
+            applied_now = [r for r in rs if not r.get("skipped")]
+            results.extend(applied_now)
+            if applied_now:
+                progressed = True
+        if publish_to is not None:
             # continuous CDC relay: every newly committed epoch is
             # immediately re-published as a downstream feed — consume
             # upstream log -> lake -> publish, the reference's
             # producer+consumer pair in one loop (idempotent on both
-            # sides, so a crash anywhere re-converges)
-            from .publish import publish_changefeed
+            # sides, so a crash anywhere re-converges).  Called every
+            # poll, not only on progress: a crash between apply and
+            # publish otherwise leaves committed epochs beyond the feed
+            # cursor unpublished until the next upstream epoch arrives.
+            from .publish import invalidate_feeds_from, publish_changefeed
 
+            for e in regrown_ok:
+                # a force-reapplied epoch changes the as-of state at e
+                # and BEYOND: already-published feeds from e are stale
+                # and would silently drop the late rows downstream —
+                # invalidate so this round republishes fresh diffs
+                inv = invalidate_feeds_from(publish_to, e)
+                if inv["invalidated"] or inv.get("resync_required"):
+                    results.append({"feed_invalidated_from": e, **inv})
             pub = publish_changefeed(
                 lake_dir, publish_to, value_cols=publish_value_cols
             )
             if pub["published"]:
                 results.append({"published": pub["published"]})
+                progressed = True
         if progressed:
             idle = 0
         else:

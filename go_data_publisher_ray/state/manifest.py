@@ -172,6 +172,18 @@ class Manifest:
         return PAGES_SPEC
 
     @property
+    def admin_epochs(self) -> set[int]:
+        """Epoch numbers claimed by administrative commits (key
+        erasure): an upstream epoch arriving under one of these numbers
+        must be refused, not silently skipped-as-committed."""
+        return set(self.meta.get("admin_epochs", []))
+
+    def record_admin_epoch(self, epoch: int) -> None:
+        eps = sorted(self.admin_epochs | {int(epoch)})
+        self.meta["admin_epochs"] = eps
+        atomic_write_json(os.path.join(self.lake_dir, "lake.json"), self.meta)
+
+    @property
     def shard(self) -> tuple[int, int] | None:
         """Key-space shard ``(k, n)`` this lake owns (``part % n == k``),
         or None for an unsharded lake.  Recorded at bootstrap so apply
@@ -232,16 +244,25 @@ class Manifest:
         folded into its current base (-1 if any partition has no base):
         epochs <= horizon are fully represented by base files and must
         be skipped, never re-applied — the resume fence a repartitioned
-        lake (pipelines/maintain.py) carries over from its source."""
+        lake (pipelines/maintain.py) carries over from its source.
+
+        Cached per Manifest instance (invalidated by commit_compaction):
+        apply_epoch consults it once per epoch, and re-scanning every
+        compact record per pending epoch per tail poll is O(records)
+        disk I/O on the hot ingest path for a value that only changes
+        when THIS process commits a compaction."""
+        if getattr(self, "_horizon_cache", None) is not None:
+            return self._horizon_cache
         upto: dict[int, int] = {}
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.startswith("compact_") and name.endswith(".json"):
                 rec = read_json(os.path.join(self.manifest_dir, name))
                 for fd in rec["files"]:
                     upto[fd["partition"]] = rec["upto_epoch"]
-        return min(
+        self._horizon_cache = min(
             (upto.get(p, -1) for p in range(self.num_partitions)), default=-1
         )
+        return self._horizon_cache
 
     def next_compaction_id(self) -> int:
         existing = [
@@ -267,6 +288,7 @@ class Manifest:
             "schema": schema_mod.schema_to_json(base_schema),
         }
         atomic_write_json(os.path.join(self.manifest_dir, f"compact_{cid:06d}.json"), record)
+        self._horizon_cache = None  # horizon moved
         self.refresh_checkpoints()
         return record
 

@@ -195,3 +195,102 @@ def test_erase_keys_physically_removes(ray_session, small_log, lake_dir):
     from go_data_publisher_ray.pipelines.verify import lineage_check
 
     assert lineage_check(lake_dir)["mismatches"] == []
+
+
+def test_tail_terminates_on_repartitioned_lake(ray_session, small_log, tmp_path):
+    """Review r3: folded-skipped epochs must not read as 'pending
+    progress' — tail on a repartitioned lake has to go idle and return,
+    not hot-spin re-skipping the folded epochs forever."""
+    from go_data_publisher_ray.pipelines.tail import tail
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    bootstrap(base, src, P)
+    apply_log(events, src, stop_after=6)
+    repartition_lake(src, dst, 2 * P)
+
+    results = tail(events, dst, poll_interval=0.05, max_idle_polls=2)
+    applied = [r["epoch"] for r in results if not r.get("skipped")]
+    assert applied == list(range(6, 10))  # only the epochs beyond the fence
+    got = snapshot_table(dst)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
+def test_erase_epoch_collision_refused(ray_session, small_log, lake_dir, tmp_path):
+    """Review r3: an upstream epoch arriving under a number claimed by
+    an administrative (erasure) epoch must fail loudly, not be silently
+    swallowed by the skip-committed check."""
+    import shutil
+
+    import pytest
+
+    from go_data_publisher_ray.pipelines.maintain import erase_keys
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    url = snapshot_table(lake_dir).column("url")[0].as_py()
+    r = erase_keys(lake_dir, [url])
+    assert r["epoch"] == 10  # max committed (9) + 1
+
+    # upstream later emits epoch 10: the collision must raise
+    upstream2 = str(tmp_path / "more_events")
+    shutil.copytree(events, upstream2)
+    shutil.copytree(
+        os.path.join(events, "epoch=9"), os.path.join(upstream2, "epoch=10")
+    )
+    with pytest.raises(ValueError, match="administrative"):
+        apply_log(upstream2, lake_dir)
+
+
+def test_repartition_keeps_fence_with_empty_partitions(ray_session, tmp_path):
+    """Review r3: a destination partition that receives zero rows still
+    needs a zero-row base entry, or compaction_horizon() collapses to -1
+    and the whole already-ingested log re-applies."""
+    import numpy as np
+
+    tiny = str(tmp_path / "tiny")
+    os.makedirs(os.path.join(tiny, "base"))
+    base_t = pa.table(
+        {
+            "url": [f"https://t/{i}" for i in range(3)],
+            "warc_ts": pa.array(
+                np.array([1_700_000_000_000_000 + i for i in range(3)], "datetime64[us]")
+            ),
+            "html": [b"x", b"y", b"z"],
+            "text": ["a", "b", "c"],
+            "lang": ["en"] * 3,
+            "lsn": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(base_t, os.path.join(tiny, "base", "chunk-0.parquet"))
+    edir = os.path.join(tiny, "events", "epoch=0")
+    os.makedirs(edir)
+    ev = pa.table(
+        {
+            "url": ["https://t/0"],
+            "warc_ts": pa.array(
+                np.array([1_700_000_001_000_000], "datetime64[us]")
+            ),
+            "html": [b"x2"],
+            "text": ["a2"],
+            "lang": ["en"],
+            "lsn": pa.array([1], pa.int64()),
+            "op": ["upsert"],
+        }
+    )
+    pq.write_table(ev, os.path.join(edir, "chunk-0.parquet"))
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    bootstrap(os.path.join(tiny, "base"), src, 4)
+    apply_log(os.path.join(tiny, "events"), src)
+    r = repartition_lake(src, dst, 64)  # 3 keys over 64 partitions: most empty
+    assert r["partitions"] == 64
+    assert Manifest(dst).compaction_horizon() == 0  # fence survives
+
+    results = apply_log(os.path.join(tiny, "events"), dst)
+    assert all(res.get("skipped") for res in results)  # nothing re-applies
+    ok, msg = tables_equal(snapshot_table(src), snapshot_table(dst))
+    assert ok, msg

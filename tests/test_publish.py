@@ -139,3 +139,74 @@ def test_tail_relay_publishes_incrementally(ray_session, small_log, lake_dir, tm
         int(d.split("=")[1]) for d in os.listdir(feed) if d.startswith("epoch=")
     )
     assert on_disk == epochs[1:]
+
+
+def test_relay_invalidates_feeds_on_late_data(ray_session, small_log, lake_dir, tmp_path):
+    """Review r3: a force-reapplied (late-data) epoch changes the as-of
+    state at that epoch and beyond — already-published feeds are stale
+    and must be invalidated and republished, or the downstream silently
+    misses the late rows forever."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines.snapshot import snapshot_table as snap
+    from go_data_publisher_ray.pipelines.tail import tail
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    staged = str(tmp_path / "staged")
+    feed = str(tmp_path / "feed")
+    shutil.copytree(events, staged)
+    bootstrap(base, lake_dir, P)
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+
+    # late data lands in already-published epoch 5: a NEW key only this
+    # file carries (so missing it downstream is unambiguous)
+    late_url = "https://late.example/only-in-late-file"
+    late = pa_table_late(late_url)
+    pq.write_table(late, os.path.join(staged, "epoch=5", "late-chunk.parquet"))
+
+    r = tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+             publish_value_cols=VALUE_COLS)
+    inv = [x for x in r if "feed_invalidated_from" in x]
+    assert inv and inv[0]["feed_invalidated_from"] == 5
+    assert min(inv[0]["invalidated"]) == 5
+    pubs = [p for x in r if "published" in x for p in x["published"]]
+    assert [p["epoch"] for p in pubs] == list(range(5, 10))  # rebuilt from 5
+
+    # downstream replay over the rebuilt feeds now carries the late row
+    cursor = read_json(os.path.join(feed, "_cursor.json"))
+    init = snap(lake_dir, upto_epoch=cursor["bootstrap_epoch"])
+    state = {
+        row["url"]: {c: row[c] for c in ("url", "warc_ts", "lsn") + VALUE_COLS}
+        for row in init.to_pylist()
+    }
+    for e in sorted(
+        int(d.split("=")[1]) for d in os.listdir(feed) if d.startswith("epoch=")
+    ):
+        _consume(os.path.join(feed, f"epoch={e}"), state)
+    assert late_url in state
+    want = {
+        row["url"]: {c: row[c] for c in ("url", "warc_ts", "lsn") + VALUE_COLS}
+        for row in snap(lake_dir).to_pylist()
+    }
+    assert state == want
+
+
+def pa_table_late(url: str):
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "url": [url],
+            "warc_ts": pa.array(np.array([1_900_000_000_000_000], "datetime64[us]")),
+            "html": [b"late-html"],
+            "text": ["late text"],
+            "lang": ["en"],
+            "lsn": pa.array([999_999], pa.int64()),
+            "op": ["upsert"],
+            "epoch": pa.array([5], pa.int32()),
+        }
+    )
