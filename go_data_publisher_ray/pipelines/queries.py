@@ -3975,3 +3975,58 @@ def window_rank_top3_orders(sf_dir: str):
         .groupby("ubucket")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+@query(
+    "window_event_transitions",
+    """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def window_event_transitions(sf_dir: str):
+    """Per-user event-sequence transition counts (the Markov-bigram /
+    clickstream-mining shape): ONE segmented shift per exchange bucket —
+    sort by (user, ts, lsn), pair each row's type with its predecessor,
+    mask out segment starts — then a tiny (prev, next) groupby of the
+    per-bucket partial counts.  Behavioral sequence features for
+    training pipelines without any per-user Python."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def transitions(g: pa.Table) -> pa.Table:
+        g, u, new = _per_user_sorted(g)
+        et = g.column("event_type").combine_chunks()
+        n = len(u)
+        if n < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        keep = ~new  # rows that have a same-user predecessor
+        prev = et.slice(0, n - 1)
+        idx = np.flatnonzero(keep[1:])  # positions i in [1,n): pair (i-1, i)
+        pairs = pa.table(
+            {
+                "prev_type": prev.take(pa.array(idx)),
+                "next_type": et.take(pa.array(idx + 1)),
+            }
+        )
+        cnt = pairs.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+        return cnt.rename_columns(["prev_type", "next_type", "pn"])
+
+    return (
+        ds.map_batches(_add_ubucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(*_agg(n=("sum", "pn")))
+    )
