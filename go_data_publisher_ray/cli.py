@@ -193,6 +193,15 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated payload columns to carry as old_*/new_*",
     )
 
+    rc = sub.add_parser(
+        "replicate", help="build/catch-up a replica lake from a published feed"
+    )
+    rc.add_argument("--feed", required=True)
+    rc.add_argument("--lake", required=True, help="replica lake dir")
+    rc.add_argument("--bootstrap", required=True,
+                    help="parquet export of the source snapshot as of the feed's bootstrap epoch")
+    rc.add_argument("--partitions", type=int, default=8)
+
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
     st.add_argument(
@@ -385,6 +394,19 @@ def main(argv: list[str] | None = None) -> int:
 
             vcols = tuple(args.value_cols.split(",")) if args.value_cols else ()
             print(json.dumps(publish_changefeed(args.lake, args.out, value_cols=vcols)))
+        elif args.cmd == "replicate":
+            from .pipelines.publish import replicate
+
+            print(
+                json.dumps(
+                    replicate(
+                        args.feed,
+                        args.lake,
+                        bootstrap_dir=args.bootstrap,
+                        num_partitions=args.partitions,
+                    )
+                )
+            )
         elif args.cmd == "status":
             from .pipelines.tail import serve_status, status
 

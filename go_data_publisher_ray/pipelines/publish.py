@@ -67,11 +67,28 @@ def publish_changefeed(
         if name.endswith(".tmp-publish"):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
+    # feeds are diffs between as-of views, which are only servable at
+    # committed epochs >= the retention floor (compaction folds history)
+    floor = man.retention_floor()
+    servable = [e for e in epochs if e >= floor]
+
     cpath = _cursor_path(out_dir)
     if os.path.exists(cpath):
         cursor = read_json(cpath)
+        if cursor["upto"] < floor:
+            raise ValueError(
+                f"feed cursor is at epoch {cursor['upto']} but compaction "
+                f"has folded history up to {floor}: the missing diffs are "
+                "no longer derivable. Publish after every apply round (or "
+                "before compacting), or start a fresh feed dir and have "
+                "the downstream re-bootstrap from a current snapshot."
+            )
     else:
-        cursor = {"upto": epochs[0], "bootstrap_epoch": epochs[0]}
+        # first publish: downstream bootstraps from snapshot(as of the
+        # earliest SERVABLE committed epoch) — on a freshly compacted
+        # lake that is the newest epoch and feeds start after it
+        boot = min(servable) if servable else epochs[-1]
+        cursor = {"upto": boot, "bootstrap_epoch": boot}
         atomic_write_json(cpath, cursor)
 
     published = []
@@ -138,3 +155,110 @@ def invalidate_feeds_from(out_dir: str, epoch: int) -> dict:
     cursor["upto"] = max(remaining, default=cursor["bootstrap_epoch"])
     atomic_write_json(cpath, cursor)
     return {"invalidated": stale, "cursor_upto": cursor["upto"]}
+
+
+def replicate(
+    feed_dir: str,
+    replica_lake: str,
+    *,
+    bootstrap_dir: str,
+    num_partitions: int = 8,
+) -> dict:
+    """Downstream CONSUMER of a published feed — build (or catch up) a
+    replica lake by turning each feed epoch back into change events and
+    applying them through the engine's own idempotent upsert path.  The
+    full loop this closes: source lake --publish--> feed --replicate-->
+    replica lake, with ``snapshot(replica) == snapshot(source)`` at
+    every published epoch (the reference's consumer services rebuilt on
+    the same machinery as its producer).
+
+    ``bootstrap_dir`` is the parquet export of the source's snapshot AS
+    OF the feed's bootstrap epoch (``snapshot --upto-epoch <bootstrap>``)
+    — the one-time initial sync every log-shipping consumer performs.
+    Re-running is incremental and idempotent: already-applied feed
+    epochs skip.  Feeds must carry every payload column as ``new_*``
+    (publish with ``value_cols`` covering the schema) or this raises.
+
+    Feed rows map to events vectorized: added/changed -> op='upsert'
+    with the ``new_*`` columns; deleted -> op='delete' with the ``old_*``
+    order columns bumped (+1us/+1), which beats the replica's current
+    winner for that key exactly (the replica's winner IS the old side).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from .apply import apply_log, bootstrap
+
+    bootstrap(bootstrap_dir, replica_lake, num_partitions)
+    man = Manifest(replica_lake)
+    spec = man.merge_spec
+    if not spec.has_tombstones:
+        raise ValueError("replicate requires a tombstoned entity (op column)")
+    state_schema = man.load_state().schema
+    key_cols = list(spec.key_cols)
+    order_cols = list(spec.order_cols)
+    payload_cols = [
+        f.name
+        for f in state_schema
+        if f.name not in key_cols + order_cols + ["op"]
+    ]
+
+    events_dir = os.path.join(replica_lake, "_replica_events")
+    os.makedirs(events_dir, exist_ok=True)
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(feed_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp-publish")
+    )
+    for e in epochs:
+        edir = os.path.join(events_dir, f"epoch={e}")
+        # the CHUNK is the completion marker, not the dir: a crash
+        # between makedirs and the chunk rename would otherwise read as
+        # done, and apply_epoch would commit the chunkless dir as an
+        # EMPTY epoch — silently dropping the epoch's changes
+        if os.path.exists(os.path.join(edir, "chunk-00000.parquet")):
+            continue
+        t = pq_.read_table(os.path.join(feed_dir, f"epoch={e}"))
+        for col in order_cols + payload_cols:
+            if f"new_{col}" not in t.schema.names:
+                raise ValueError(
+                    f"feed lacks new_{col}: publish with value_cols covering "
+                    "the full payload to make the feed replicable"
+                )
+        deleted = pc.equal(t.column("change"), "deleted")
+        cols: dict = {k: t.column(k) for k in key_cols}
+        # delete tombstones carry the old winner's order tuple with ONLY
+        # the final tie-breaker (lsn) bumped: (old_ts, old_lsn+1) beats
+        # exactly the versions the source delete beat and loses to
+        # everything that beat it — bumping the timestamp instead would
+        # let the tombstone wrongly outrank a later re-insert that TIED
+        # the source delete on timestamp and won on lsn
+        for oc in order_cols[:-1]:
+            cols[oc] = pc.if_else(
+                deleted, t.column(f"old_{oc}"), t.column(f"new_{oc}")
+            )
+        last = order_cols[-1]
+        cols[last] = pc.if_else(
+            deleted,
+            pc.add(t.column(f"old_{last}"), 1).cast(
+                t.column(f"new_{last}").type
+            ),
+            t.column(f"new_{last}"),
+        )
+        for vcol in payload_cols:
+            cols[vcol] = t.column(f"new_{vcol}")
+        cols["op"] = pc.if_else(
+            deleted,
+            pa.scalar("delete", pa.string()),
+            pa.scalar("upsert", pa.string()),
+        )
+        os.makedirs(edir, exist_ok=True)
+        tmp = os.path.join(edir, ".tmp-replica.parquet")
+        pq_.write_table(pa.table(cols), tmp)
+        os.replace(tmp, os.path.join(edir, "chunk-00000.parquet"))
+
+    results = apply_log(events_dir, replica_lake)
+    applied = [r["epoch"] for r in results if not r.get("skipped")]
+    return {"applied_epochs": applied, "feed_epochs": epochs}

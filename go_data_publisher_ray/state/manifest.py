@@ -264,6 +264,19 @@ class Manifest:
         )
         return self._horizon_cache
 
+    def retention_floor(self) -> int:
+        """The MAX over partitions of the epoch folded into the current
+        base: as-of reads (time travel, changefeed endpoints) are only
+        servable at committed epochs >= this floor.  Compare
+        ``compaction_horizon`` (the min — the resume fence)."""
+        upto: dict[int, int] = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("compact_") and name.endswith(".json"):
+                rec = read_json(os.path.join(self.manifest_dir, name))
+                for fd in rec["files"]:
+                    upto[fd["partition"]] = rec["upto_epoch"]
+        return max(upto.values(), default=-1)
+
     def next_compaction_id(self) -> int:
         existing = [
             int(n[len("compact_") : -len(".json")])
