@@ -75,6 +75,18 @@ def publish_changefeed(
     cpath = _cursor_path(out_dir)
     if os.path.exists(cpath):
         cursor = read_json(cpath)
+        # reconcile with the publish truth FIRST: epoch dirs on disk
+        # (the rename is the publish point) may be ahead of the cursor
+        # after a crash between rename and cursor write — those diffs
+        # need no re-deriving, so they must not trip the floor check
+        on_disk = [
+            int(d.split("=")[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("epoch=") and not d.endswith(".tmp-publish")
+        ]
+        if on_disk and max(on_disk) > cursor["upto"]:
+            cursor["upto"] = max(on_disk)
+            atomic_write_json(cpath, cursor)
         if cursor["upto"] < floor:
             raise ValueError(
                 f"feed cursor is at epoch {cursor['upto']} but compaction "
@@ -88,7 +100,21 @@ def publish_changefeed(
         # earliest SERVABLE committed epoch) — on a freshly compacted
         # lake that is the newest epoch and feeds start after it
         boot = min(servable) if servable else epochs[-1]
-        cursor = {"upto": boot, "bootstrap_epoch": boot}
+        state = man.load_state()
+        boot_max_lsn = 0
+        for part in range(man.num_partitions):
+            b, ds_ = state.live_files(part, upto_epoch=boot)
+            for fe in ([b] if b else []) + ds_:
+                boot_max_lsn = max(boot_max_lsn, fe.max_lsn)
+        cursor = {
+            "upto": boot,
+            "bootstrap_epoch": boot,
+            # feed metadata the downstream consumer needs: the entity's
+            # merge semantics and an integrity stamp for the bootstrap
+            # export (metadata-only to compute: file entries carry lsn)
+            "merge_spec": man.merge_spec.to_dict(),
+            "bootstrap_max_lsn": boot_max_lsn,
+        }
         atomic_write_json(cpath, cursor)
 
     published = []
@@ -180,18 +206,56 @@ def replicate(
     (publish with ``value_cols`` covering the schema) or this raises.
 
     Feed rows map to events vectorized: added/changed -> op='upsert'
-    with the ``new_*`` columns; deleted -> op='delete' with the ``old_*``
-    order columns bumped (+1us/+1), which beats the replica's current
-    winner for that key exactly (the replica's winner IS the old side).
+    with the ``new_*`` columns; deleted -> op='delete' carrying the old
+    winner's order tuple with only the lsn tie-breaker bumped, which
+    beats the replica's current winner for that key exactly (the
+    replica's winner IS the old side).
+
+    The feed's ``_cursor.json`` is the consumer's source of truth: the
+    entity's merge spec (the replica lake is created with the SOURCE's
+    semantics, not a default) and ``bootstrap_max_lsn``, against which
+    the provided ``bootstrap_dir`` export is integrity-checked — an
+    export taken at the wrong epoch would otherwise silently diverge
+    the replica.  Republished (invalidated) feed epochs are detected by
+    content fingerprint and force-reapplied, so a replica that consumed
+    a stale feed reconverges on the next run.
     """
-    import numpy as np
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
 
-    from .apply import apply_log, bootstrap
+    from ..schema import MergeSpec
+    from .apply import apply_epoch, apply_log, bootstrap
 
-    bootstrap(bootstrap_dir, replica_lake, num_partitions)
+    meta = read_json(_cursor_path(feed_dir))
+    spec = (
+        MergeSpec.from_dict(meta["merge_spec"]) if "merge_spec" in meta else None
+    )
+    if spec is not None and not spec.has_tombstones:
+        raise ValueError(
+            "replicate requires a tombstoned entity (op column): the feed's "
+            f"merge spec {meta['merge_spec']} cannot express deletes as events"
+        )
+
+    # integrity-check the bootstrap export against the feed's recorded
+    # bootstrap epoch BEFORE building anything on top of it: a snapshot
+    # taken at the wrong epoch would silently diverge the replica.  The
+    # export's provenance marker (written by export_snapshot) is exact;
+    # a marker-less directory (hand-assembled) is accepted as-is.
+    marker_path = os.path.join(bootstrap_dir, "_export_marker")
+    if os.path.exists(marker_path) and "bootstrap_epoch" in meta:
+        marker = read_json(marker_path)
+        if marker.get("upto_epoch") != meta["bootstrap_epoch"]:
+            raise ValueError(
+                f"bootstrap export watermark mismatch: export was taken "
+                f"as of epoch {marker.get('upto_epoch')} but the feed was "
+                f"bootstrapped at epoch {meta['bootstrap_epoch']} — export "
+                f"the snapshot with --upto-epoch {meta['bootstrap_epoch']}"
+            )
+
+    bootstrap(bootstrap_dir, replica_lake, num_partitions, merge_spec=spec)
     man = Manifest(replica_lake)
     spec = man.merge_spec
     if not spec.has_tombstones:
@@ -212,14 +276,35 @@ def replicate(
         for d in os.listdir(feed_dir)
         if d.startswith("epoch=") and not d.endswith(".tmp-publish")
     )
+    def _feed_fingerprint(e: int) -> str:
+        h = hashlib.md5()
+        fdir = os.path.join(feed_dir, f"epoch={e}")
+        for name in sorted(os.listdir(fdir)):
+            if name.endswith(".parquet"):
+                with open(os.path.join(fdir, name), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    force_epochs: list[int] = []
     for e in epochs:
         edir = os.path.join(events_dir, f"epoch={e}")
+        fp = _feed_fingerprint(e)
+        fp_path = os.path.join(edir, "_feed.json")
         # the CHUNK is the completion marker, not the dir: a crash
         # between makedirs and the chunk rename would otherwise read as
         # done, and apply_epoch would commit the chunkless dir as an
         # EMPTY epoch — silently dropping the epoch's changes
         if os.path.exists(os.path.join(edir, "chunk-00000.parquet")):
-            continue
+            # a REPUBLISHED epoch (late-data invalidation upstream) has
+            # a different content fingerprint: rebuild + force-reapply,
+            # otherwise the replica keeps the stale delta forever and
+            # silently diverges from the convergence contract
+            if (
+                os.path.exists(fp_path)
+                and read_json(fp_path)["md5"] == fp
+            ):
+                continue
+            force_epochs.append(e)
         t = pq_.read_table(os.path.join(feed_dir, f"epoch={e}"))
         for col in order_cols + payload_cols:
             if f"new_{col}" not in t.schema.names:
@@ -258,7 +343,16 @@ def replicate(
         tmp = os.path.join(edir, ".tmp-replica.parquet")
         pq_.write_table(pa.table(cols), tmp)
         os.replace(tmp, os.path.join(edir, "chunk-00000.parquet"))
+        atomic_write_json(fp_path, {"md5": fp})
 
+    refreshed = []
+    for e in force_epochs:
+        apply_epoch(events_dir, replica_lake, e, force=True)
+        refreshed.append(e)
     results = apply_log(events_dir, replica_lake)
     applied = [r["epoch"] for r in results if not r.get("skipped")]
-    return {"applied_epochs": applied, "feed_epochs": epochs}
+    return {
+        "applied_epochs": applied,
+        "refreshed_epochs": refreshed,
+        "feed_epochs": epochs,
+    }

@@ -4012,11 +4012,10 @@ def window_event_transitions(sf_dir: str):
                 }
             )
         keep = ~new  # rows that have a same-user predecessor
-        prev = et.slice(0, n - 1)
-        idx = np.flatnonzero(keep[1:])  # positions i in [1,n): pair (i-1, i)
+        idx = np.flatnonzero(keep[1:])  # pair rows (idx, idx+1)
         pairs = pa.table(
             {
-                "prev_type": prev.take(pa.array(idx)),
+                "prev_type": et.take(pa.array(idx)),
                 "next_type": et.take(pa.array(idx + 1)),
             }
         )

@@ -192,6 +192,17 @@ def export_snapshot(
         )
     else:
         rows = None  # counting text rows would re-read the export
+    # provenance marker: consumers (pipelines/publish.py::replicate)
+    # verify an export was taken at the epoch they expect instead of
+    # silently building on a wrong-epoch snapshot
+    from ..state.manifest import atomic_write_json
+
+    # extension-less name: a "*.json" glob over a jsonl export must
+    # not pick the marker up as data
+    atomic_write_json(
+        os.path.join(out_dir, "_export_marker"),
+        {"lake": os.path.abspath(lake_dir), "upto_epoch": upto_epoch, "rows": rows},
+    )
     return {"out_dir": out_dir, "files": len(files), "rows": rows, "format": fmt}
 
 

@@ -239,43 +239,40 @@ class Manifest:
         self.refresh_checkpoints()
         return record
 
+    def _compact_upto(self) -> dict[int, int]:
+        """Per-partition fold epoch from the compact records — ONE
+        cached scan (invalidated by commit_compaction) serving both
+        ``compaction_horizon`` and ``retention_floor``: apply_epoch and
+        every tail/publish poll consult these, and re-parsing every
+        compact record per poll is O(records) disk I/O on the hot path
+        for values that only change when THIS process compacts."""
+        if getattr(self, "_compact_upto_cache", None) is None:
+            upto: dict[int, int] = {}
+            for name in sorted(os.listdir(self.manifest_dir)):
+                if name.startswith("compact_") and name.endswith(".json"):
+                    rec = read_json(os.path.join(self.manifest_dir, name))
+                    for fd in rec["files"]:
+                        upto[fd["partition"]] = rec["upto_epoch"]
+            self._compact_upto_cache = upto
+        return self._compact_upto_cache
+
     def compaction_horizon(self) -> int:
         """The epoch below-or-at which EVERY partition's events are
         folded into its current base (-1 if any partition has no base):
         epochs <= horizon are fully represented by base files and must
         be skipped, never re-applied — the resume fence a repartitioned
-        lake (pipelines/maintain.py) carries over from its source.
-
-        Cached per Manifest instance (invalidated by commit_compaction):
-        apply_epoch consults it once per epoch, and re-scanning every
-        compact record per pending epoch per tail poll is O(records)
-        disk I/O on the hot ingest path for a value that only changes
-        when THIS process commits a compaction."""
-        if getattr(self, "_horizon_cache", None) is not None:
-            return self._horizon_cache
-        upto: dict[int, int] = {}
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("compact_") and name.endswith(".json"):
-                rec = read_json(os.path.join(self.manifest_dir, name))
-                for fd in rec["files"]:
-                    upto[fd["partition"]] = rec["upto_epoch"]
-        self._horizon_cache = min(
+        lake (pipelines/maintain.py) carries over from its source."""
+        upto = self._compact_upto()
+        return min(
             (upto.get(p, -1) for p in range(self.num_partitions)), default=-1
         )
-        return self._horizon_cache
 
     def retention_floor(self) -> int:
         """The MAX over partitions of the epoch folded into the current
         base: as-of reads (time travel, changefeed endpoints) are only
         servable at committed epochs >= this floor.  Compare
         ``compaction_horizon`` (the min — the resume fence)."""
-        upto: dict[int, int] = {}
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("compact_") and name.endswith(".json"):
-                rec = read_json(os.path.join(self.manifest_dir, name))
-                for fd in rec["files"]:
-                    upto[fd["partition"]] = rec["upto_epoch"]
-        return max(upto.values(), default=-1)
+        return max(self._compact_upto().values(), default=-1)
 
     def next_compaction_id(self) -> int:
         existing = [
@@ -301,7 +298,7 @@ class Manifest:
             "schema": schema_mod.schema_to_json(base_schema),
         }
         atomic_write_json(os.path.join(self.manifest_dir, f"compact_{cid:06d}.json"), record)
-        self._horizon_cache = None  # horizon moved
+        self._compact_upto_cache = None  # horizon/floor moved
         self.refresh_checkpoints()
         return record
 

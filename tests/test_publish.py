@@ -96,7 +96,10 @@ def test_publish_idempotent_after_partial_crash(ray_session, small_log, lake_dir
         for f in before
     }
     out = publish_changefeed(lake_dir, feed)
-    assert [p["epoch"] for p in out["published"]] == [cursor["upto"]]
+    # the on-disk dir is the publish truth: the cursor re-advances from
+    # it without re-deriving (so `published` stays empty) and the feed
+    # files are byte-untouched
+    assert out["published"] == [] and out["upto"] == cursor["upto"]
     after = sorted(os.listdir(os.path.join(feed, f"epoch={cursor['upto']}")))
     assert after == before  # not rewritten
     for f in after:
@@ -247,3 +250,99 @@ def test_replicate_builds_identical_replica(ray_session, small_log, lake_dir, tm
     assert replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)[
         "applied_epochs"
     ] == []
+
+
+def test_replica_reconverges_after_feed_invalidation(
+    ray_session, small_log, lake_dir, tmp_path
+):
+    """Review r3 (2nd pass): a replica that consumed a feed epoch which
+    was later invalidated+republished (late data upstream) must detect
+    the changed content and force-reapply — not skip and silently
+    diverge."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+    from go_data_publisher_ray.pipelines.tail import tail
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    staged = str(tmp_path / "staged")
+    feed = str(tmp_path / "feed")
+    boot = str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+    shutil.copytree(events, staged)
+    bootstrap(base, lake_dir, P)
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+    from go_data_publisher_ray.state.manifest import read_json as rj
+
+    export_snapshot(
+        lake_dir, boot, upto_epoch=rj(os.path.join(feed, "_cursor.json"))["bootstrap_epoch"]
+    )
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    # late data lands upstream in already-published+consumed epoch 6
+    late = pa_table_late("https://late.example/replica-divergence-probe")
+    late = late.set_column(
+        late.schema.get_field_index("epoch"),
+        "epoch",
+        __import__("pyarrow").array([6], __import__("pyarrow").int32()),
+    )
+    pq.write_table(late, os.path.join(staged, "epoch=6", "late-chunk.parquet"))
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+
+    r = replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    assert 6 in r["refreshed_epochs"]
+    ok, msg = tables_equal(snapshot_table(lake_dir), snapshot_table(replica))
+    assert ok, msg
+
+
+def test_replicate_rejects_wrong_bootstrap(ray_session, small_log, lake_dir, tmp_path):
+    """Review r3 (2nd pass): a bootstrap export taken at the wrong epoch
+    must be rejected by the watermark stamp, not silently diverge."""
+    import pytest
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+
+    wrong = str(tmp_path / "wrong_boot")
+    export_snapshot(lake_dir, wrong, upto_epoch=out["bootstrap_epoch"] + 2)
+    with pytest.raises(ValueError, match="watermark mismatch"):
+        replicate(feed, str(tmp_path / "replica"), bootstrap_dir=wrong, num_partitions=4)
+
+
+def test_publish_cursor_heals_past_compaction(ray_session, small_log, lake_dir, tmp_path):
+    """Review r3 (2nd pass): a crash between the feed-dir rename and the
+    cursor write, followed by compaction, must self-heal from the
+    on-disk publish truth instead of demanding a full re-sync."""
+    from go_data_publisher_ray.pipelines.compact import compact
+    from go_data_publisher_ray.state.manifest import read_json as rj
+
+    import json
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+
+    # simulate the crash window: cursor one epoch behind the on-disk feeds
+    cpath = os.path.join(feed, "_cursor.json")
+    cursor = rj(cpath)
+    with open(cpath, "w") as f:
+        json.dump({**cursor, "upto": cursor["upto"] - 1}, f)
+    compact(lake_dir)  # floor moves past the rolled-back cursor
+
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    assert out["published"] == []  # healed from disk; nothing re-derived
+    assert rj(cpath)["upto"] == cursor["upto"]
