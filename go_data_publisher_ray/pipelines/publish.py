@@ -260,14 +260,17 @@ def replicate(
     spec = man.merge_spec
     if not spec.has_tombstones:
         raise ValueError("replicate requires a tombstoned entity (op column)")
-    state_schema = man.load_state().schema
     key_cols = list(spec.key_cols)
     order_cols = list(spec.order_cols)
-    payload_cols = [
+    # payload columns come from EACH FEED EPOCH's new_* columns, not the
+    # replica's bootstrap schema: a column added upstream mid-log (F3
+    # schema evolution) appears in later feeds only — deriving from the
+    # bootstrap schema would silently drop it from the replica forever
+    bootstrap_payload = {
         f.name
-        for f in state_schema
+        for f in man.load_state().schema
         if f.name not in key_cols + order_cols + ["op"]
-    ]
+    }
 
     events_dir = os.path.join(replica_lake, "_replica_events")
     os.makedirs(events_dir, exist_ok=True)
@@ -306,12 +309,21 @@ def replicate(
                 continue
             force_epochs.append(e)
         t = pq_.read_table(os.path.join(feed_dir, f"epoch={e}"))
-        for col in order_cols + payload_cols:
+        payload_cols = [
+            c[len("new_") :]
+            for c in t.schema.names
+            if c.startswith("new_") and c[len("new_") :] not in order_cols
+        ]
+        for col in order_cols:
             if f"new_{col}" not in t.schema.names:
-                raise ValueError(
-                    f"feed lacks new_{col}: publish with value_cols covering "
-                    "the full payload to make the feed replicable"
-                )
+                raise ValueError(f"feed epoch {e} lacks order column new_{col}")
+        missing = bootstrap_payload - set(payload_cols)
+        if missing:
+            raise ValueError(
+                f"feed epoch {e} lacks new_* for payload column(s) "
+                f"{sorted(missing)}: publish with value_cols covering the "
+                "full payload to make the feed replicable"
+            )
         deleted = pc.equal(t.column("change"), "deleted")
         cols: dict = {k: t.column(k) for k in key_cols}
         # delete tombstones carry the old winner's order tuple with ONLY

@@ -237,8 +237,17 @@ def make_partition_differ(
 
     mspec = MergeSpec.from_dict(merge_spec_dict)
     keys, orders = list(mspec.key_cols), list(mspec.order_cols)
-    vals = [c for c in value_cols if c not in orders and c not in keys]
     new_schema_ref = schema_mod.schema_from_json(new_schema_json)
+    # a value column that does not exist at the TO endpoint yet (F3
+    # schema evolution: added in a later epoch) is silently absent from
+    # THIS diff — the epoch records carry the cumulative unified schema,
+    # so later diffs pick it up the epoch it appears, and the replica
+    # consumer derives payload columns per feed epoch accordingly
+    vals = [
+        c
+        for c in value_cols
+        if c not in orders and c not in keys and c in new_schema_ref.names
+    ]
 
     def _merge_side(spec_side: dict | None, schema_json: str) -> pa.Table:
         schema = schema_mod.schema_from_json(schema_json)

@@ -346,3 +346,39 @@ def test_publish_cursor_heals_past_compaction(ray_session, small_log, lake_dir, 
     out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
     assert out["published"] == []  # healed from disk; nothing re-derived
     assert rj(cpath)["upto"] == cursor["upto"]
+
+
+def test_replicate_tracks_schema_evolution(ray_session, tmp_path):
+    """F3 through the full loop: a column added upstream mid-log rides
+    the feeds (value_cols includes it) and evolves the REPLICA's schema
+    too — deriving payload columns from the bootstrap schema would have
+    silently dropped it."""
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+    from go_data_publisher_ray.sources.generator import LogSpec, cached_fixture
+
+    spec = LogSpec(
+        n_base=1_000, n_sites=20, n_events=4_000, epoch_size=1_000,
+        chunk_size=2_000, html_min=16, html_max=32, text_pad=16, evolve_epoch=2,
+    )
+    log = cached_fixture(spec)
+    src = str(tmp_path / "src")
+    feed = str(tmp_path / "feed")
+    boot = str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+
+    bootstrap(os.path.join(log, "base"), src, 4)
+    apply_log(os.path.join(log, "events"), src)
+    assert "fetch_status" in snapshot_table(src).schema.names  # evolved upstream
+
+    out = publish_changefeed(
+        src, feed, value_cols=VALUE_COLS + ("fetch_status",)
+    )
+    export_snapshot(src, boot, upto_epoch=out["bootstrap_epoch"])
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    got = snapshot_table(replica)
+    assert "fetch_status" in got.schema.names
+    ok, msg = tables_equal(snapshot_table(src), got)
+    assert ok, msg
