@@ -897,7 +897,7 @@ def anti_join_clicks_no_purchase_bloom(sf_dir: str):
 @query(
     "join_asof_click_before_purchase",
     """
-    SELECT purchase_id, user_id, click_id FROM (
+    SELECT purchase_id, user_id, COALESCE(click_id, -1) AS click_id FROM (
       SELECT p.event_id AS purchase_id, p.user_id AS user_id,
              c.event_id AS click_id,
              row_number() OVER (PARTITION BY p.event_id
@@ -951,11 +951,15 @@ def join_asof_click_before_purchase(sf_dir: str):
             by="user_id",
             direction="backward",
         )
+        # Purchases with no prior click get click_id = -1 (not NULL): a
+        # nullable int column serializes differently across Arrow/pandas
+        # bridges (Int64 <NA> vs float64 nan), so the sentinel keeps the
+        # output a plain int64 on both the engine and the SQL twin.
         return pd.DataFrame(
             {
                 "purchase_id": out["event_id"],
                 "user_id": out["user_id"],
-                "click_id": out["click_id"].astype("Int64"),
+                "click_id": out["click_id"].fillna(-1).astype("int64"),
             }
         )
 
