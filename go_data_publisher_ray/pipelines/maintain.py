@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .. import schema as schema_mod
 from ..stages.merge import AddPartitionAndCombine, BaseWriter, atomic_write_parquet
-from ..state.manifest import FileEntry, Manifest, read_json
+from ..state.manifest import FileEntry, Manifest, atomic_write_json, read_json
 from .apply import _stats_to_entries
 from .snapshot import snapshot
 
@@ -96,9 +96,37 @@ def vacuum(lake_dir: str, *, include_orphans: bool = False) -> dict:
             reclaimed += os.path.getsize(abspath)
             os.remove(abspath)
             orphans.append(rel)
+
+    # replica lakes keep the converted feed events under _replica_events
+    # until their epoch commits; after that the chunks are dead bytes
+    # (replicate() skips committed epochs by fingerprint alone) — and
+    # they would otherwise survive erase_keys, breaking its "no byte of
+    # the key survives under the lake root" claim.  The _feed.json
+    # fingerprints stay so replicate() still recognizes the epochs.
+    replica_events = 0
+    ev_root = os.path.join(lake_dir, "_replica_events")
+    if os.path.isdir(ev_root):
+        done = set(state.committed_epochs)
+        for d in sorted(os.listdir(ev_root)):
+            if not d.startswith("epoch="):
+                continue
+            try:
+                e = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e not in done:
+                continue
+            edir = os.path.join(ev_root, d)
+            for f in sorted(os.listdir(edir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(edir, f)
+                    reclaimed += os.path.getsize(p)
+                    os.remove(p)
+                    replica_events += 1
     return {
         "files_deleted": len(deleted),
         "orphans_deleted": len(orphans),
+        "replica_event_files_deleted": replica_events,
         "bytes_reclaimed": reclaimed,
     }
 
@@ -141,6 +169,13 @@ def repartition_lake(
     if os.path.exists(os.path.join(dst_lake, "lake.json")):
         raise ValueError(f"destination lake {dst_lake} already exists")
     man_dst = Manifest(dst_lake, num_partitions, merge_spec=spec)
+    # administrative (erasure) epoch claims are part of the log's
+    # identity, not the physical layout: without them the new lake's
+    # apply_log would silently skip-as-folded an upstream epoch that
+    # collides with an erasure number instead of refusing it
+    if man_src.admin_epochs:
+        man_dst.meta["admin_epochs"] = sorted(man_src.admin_epochs)
+        atomic_write_json(os.path.join(dst_lake, "lake.json"), man_dst.meta)
 
     ds = snapshot(src_lake)  # merged live rows, lineage (lsn) kept
     ds = ds.map_batches(

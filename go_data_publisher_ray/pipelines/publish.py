@@ -31,6 +31,7 @@ import time
 
 import pyarrow.parquet as pq
 
+from .. import schema as schema_mod
 from ..state.manifest import Manifest, atomic_write_json, read_json
 from .snapshot import snapshot_diff
 
@@ -119,12 +120,32 @@ def publish_changefeed(
 
     published = []
     prev = cursor["upto"]
+    keys_orders = set(man.merge_spec.key_cols) | set(man.merge_spec.order_cols)
     for e in [x for x in epochs if x > cursor["upto"]]:
         edir = os.path.join(out_dir, f"epoch={e}")
         if not os.path.isdir(edir):
             tmp = f"{edir}.tmp-publish"
             ds = snapshot_diff(lake_dir, prev, e, value_cols=value_cols)
             ds.write_parquet(tmp)
+            # record the payload universe AS OF this epoch (the TO
+            # endpoint's cumulative unified schema): the replica
+            # consumer validates feed completeness against THIS set —
+            # a pre-evolution epoch legitimately lacks new_* for a
+            # column added in a later epoch, and checking it against
+            # the replica's current schema would wedge replication
+            # after a late-data invalidation reached behind the
+            # evolution point
+            asof = schema_mod.schema_from_json(man.epoch_record(e)["schema"])
+            payload_asof = sorted(
+                n for n in asof.names if n not in keys_orders and n != "op"
+            )
+            atomic_write_json(
+                os.path.join(tmp, "_epoch_meta.json"),
+                {
+                    "payload_cols_asof": payload_asof,
+                    "published_value_cols": sorted(value_cols),
+                },
+            )
             os.rename(tmp, edir)  # THE publish point
         rows = sum(
             pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows
@@ -183,6 +204,76 @@ def invalidate_feeds_from(out_dir: str, epoch: int) -> dict:
     return {"invalidated": stale, "cursor_upto": cursor["upto"]}
 
 
+def _make_feed_to_events(
+    key_cols: list[str], order_cols: list[str], payload_cols: list[str]
+):
+    """Factory for the per-batch feed→change-event transform replicate()
+    runs as a ``map_batches`` stage (pure Arrow, batch-local — no state,
+    no driver materialization).
+
+    Delete tombstones carry the old winner's order tuple with ONLY the
+    final tie-breaker (lsn) bumped: (old_ts, old_lsn+1) beats exactly
+    the versions the source delete beat and loses to everything that
+    beat it — bumping the timestamp instead would let the tombstone
+    wrongly outrank a later re-insert that TIED the source delete on
+    timestamp and won on lsn."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def convert(t: pa.Table) -> pa.Table:
+        deleted = pc.equal(t.column("change"), "deleted")
+        cols: dict = {k: t.column(k) for k in key_cols}
+        for oc in order_cols[:-1]:
+            cols[oc] = pc.if_else(deleted, t.column(f"old_{oc}"), t.column(f"new_{oc}"))
+        last = order_cols[-1]
+        cols[last] = pc.if_else(
+            deleted,
+            pc.add(t.column(f"old_{last}"), 1).cast(t.column(f"new_{last}").type),
+            t.column(f"new_{last}"),
+        )
+        for vcol in payload_cols:
+            cols[vcol] = t.column(f"new_{vcol}")
+        cols["op"] = pc.if_else(
+            deleted,
+            pa.scalar("delete", pa.string()),
+            pa.scalar("upsert", pa.string()),
+        )
+        return pa.table(cols)
+
+    return convert
+
+
+def _parquet_dir_col_max(dirpath: str, col: str):
+    """Max of one column over a parquet directory from row-group
+    statistics alone (driver-side metadata read; None when the column is
+    absent or the directory holds no rows).  Falls back to reading just
+    that column of a file whose stats are missing."""
+    mx = None
+    for name in sorted(os.listdir(dirpath)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(dirpath, name)
+        pf = pq.ParquetFile(path)
+        names = pf.schema_arrow.names
+        if col not in names:
+            return None
+        idx = names.index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            rgmeta = pf.metadata.row_group(rg)
+            if rgmeta.num_rows == 0:
+                continue
+            st = rgmeta.column(idx).statistics
+            if st is not None and st.has_min_max:
+                v = st.max
+            else:
+                import pyarrow.compute as pc
+
+                v = pc.max(pf.read_row_group(rg, columns=[col]).column(col)).as_py()
+            if v is not None:
+                mx = v if mx is None else max(mx, v)
+    return mx
+
+
 def replicate(
     feed_dir: str,
     replica_lake: str,
@@ -213,21 +304,35 @@ def replicate(
 
     The feed's ``_cursor.json`` is the consumer's source of truth: the
     entity's merge spec (the replica lake is created with the SOURCE's
-    semantics, not a default) and ``bootstrap_max_lsn``, against which
-    the provided ``bootstrap_dir`` export is integrity-checked — an
-    export taken at the wrong epoch would otherwise silently diverge
-    the replica.  Republished (invalidated) feed epochs are detected by
-    content fingerprint and force-reapplied, so a replica that consumed
-    a stale feed reconverges on the next run.
+    semantics, not a default) plus two bootstrap integrity stamps the
+    export is checked against before anything is built on it — the
+    ``_export_marker`` epoch when the export carries one (exact), and
+    ``bootstrap_max_lsn`` always: the export's max lsn (parquet
+    row-group statistics, metadata-only) must not EXCEED the lsn
+    watermark recorded at bootstrap — an export taken after later
+    epochs were ingested is refused.  (An export taken too early is
+    caught by the marker; a marker-less too-early export with a
+    hand-stripped lsn column is outside what cheap metadata can prove.)
+    Republished (invalidated) feed epochs are detected by content
+    fingerprint and force-reapplied, so a replica that consumed a stale
+    feed reconverges on the next run.
+
+    The feed→event conversion itself is a distributed ``map_batches``
+    pass per epoch (written to a temp dir, atomically renamed — the
+    rename is the conversion's commit point); the driver never holds an
+    epoch's rows, so a tens-of-GB catch-up feed epoch streams through
+    the object store like any other pipeline.  Converted event chunks
+    for already-committed epochs are dead bytes; ``maintain.vacuum``
+    sweeps them (the ``_feed.json`` fingerprints stay behind so re-runs
+    still skip those epochs).
     """
     import hashlib
+    import shutil
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq_
+    import ray.data as rd
 
     from ..schema import MergeSpec
-    from .apply import apply_epoch, apply_log, bootstrap
+    from .apply import _parquet_dir_schema, apply_epoch, apply_log, bootstrap
 
     meta = read_json(_cursor_path(feed_dir))
     spec = (
@@ -254,6 +359,24 @@ def replicate(
                 f"bootstrapped at epoch {meta['bootstrap_epoch']} — export "
                 f"the snapshot with --upto-epoch {meta['bootstrap_epoch']}"
             )
+    # lsn bound check (works for marker-less, hand-assembled exports
+    # too): the export's max lsn cannot exceed the lsn watermark the
+    # publisher recorded at bootstrap — a higher value proves the export
+    # was taken AFTER later epochs were ingested, which would silently
+    # diverge the replica (deletes between the bootstrap epoch and the
+    # export time never reach it as feed events).  Equality is not
+    # required: the snapshot keeps only LWW winners, so the row carrying
+    # the file-level max lsn may legitimately be absent (tombstoned, or
+    # beaten by a higher-order lower-lsn late row).
+    if "bootstrap_max_lsn" in meta and spec is not None:
+        export_lsn = _parquet_dir_col_max(bootstrap_dir, spec.lsn_col)
+        if export_lsn is not None and export_lsn > meta["bootstrap_max_lsn"]:
+            raise ValueError(
+                f"bootstrap export is too new: its max {spec.lsn_col} "
+                f"{export_lsn} exceeds the feed's bootstrap watermark "
+                f"{meta['bootstrap_max_lsn']} — export the snapshot with "
+                f"--upto-epoch {meta.get('bootstrap_epoch')}"
+            )
 
     bootstrap(bootstrap_dir, replica_lake, num_partitions, merge_spec=spec)
     man = Manifest(replica_lake)
@@ -274,88 +397,95 @@ def replicate(
 
     events_dir = os.path.join(replica_lake, "_replica_events")
     os.makedirs(events_dir, exist_ok=True)
+    # sweep crashed conversion attempts: the dir rename below is the
+    # conversion's commit point, so a *.tmp-replica dir was never done
+    for name in os.listdir(events_dir):
+        if name.endswith(".tmp-replica"):
+            shutil.rmtree(os.path.join(events_dir, name), ignore_errors=True)
     epochs = sorted(
         int(d.split("=")[1])
         for d in os.listdir(feed_dir)
         if d.startswith("epoch=") and not d.endswith(".tmp-publish")
     )
+
     def _feed_fingerprint(e: int) -> str:
+        # streamed fixed-size reads: the fingerprint never holds more
+        # than one 8 MiB chunk regardless of feed-epoch size
         h = hashlib.md5()
         fdir = os.path.join(feed_dir, f"epoch={e}")
         for name in sorted(os.listdir(fdir)):
             if name.endswith(".parquet"):
                 with open(os.path.join(fdir, name), "rb") as fh:
-                    h.update(fh.read())
+                    for chunk in iter(lambda: fh.read(8 << 20), b""):
+                        h.update(chunk)
         return h.hexdigest()
 
     force_epochs: list[int] = []
     for e in epochs:
+        fdir = os.path.join(feed_dir, f"epoch={e}")
         edir = os.path.join(events_dir, f"epoch={e}")
         fp = _feed_fingerprint(e)
         fp_path = os.path.join(edir, "_feed.json")
-        # the CHUNK is the completion marker, not the dir: a crash
-        # between makedirs and the chunk rename would otherwise read as
-        # done, and apply_epoch would commit the chunkless dir as an
-        # EMPTY epoch — silently dropping the epoch's changes
-        if os.path.exists(os.path.join(edir, "chunk-00000.parquet")):
-            # a REPUBLISHED epoch (late-data invalidation upstream) has
-            # a different content fingerprint: rebuild + force-reapply,
-            # otherwise the replica keeps the stale delta forever and
-            # silently diverges from the convergence contract
-            if (
-                os.path.exists(fp_path)
-                and read_json(fp_path)["md5"] == fp
-            ):
+        # the fingerprint file is written INSIDE the temp dir before the
+        # rename, so "dir exists with matching _feed.json" means the
+        # conversion completed for exactly these feed bytes.  Event
+        # chunks may have been vacuumed after the epoch committed
+        # (maintain.vacuum) — still done.  A REPUBLISHED epoch
+        # (late-data invalidation upstream) has a different fingerprint:
+        # rebuild, and force-reapply if the replica already committed
+        # the stale version, otherwise it diverges forever.
+        if os.path.exists(fp_path) and read_json(fp_path)["md5"] == fp:
+            has_chunks = any(n.endswith(".parquet") for n in os.listdir(edir))
+            if has_chunks or man.has_epoch(e):
                 continue
-            force_epochs.append(e)
-        t = pq_.read_table(os.path.join(feed_dir, f"epoch={e}"))
+        if os.path.isdir(edir):
+            if man.has_epoch(e):
+                force_epochs.append(e)
+            shutil.rmtree(edir)
+
+        # validation is metadata-only: the feed epoch's unified parquet
+        # schema names every published column without reading a row
+        feed_schema = _parquet_dir_schema(fdir)
+        feed_files = sorted(
+            os.path.join(fdir, n) for n in os.listdir(fdir) if n.endswith(".parquet")
+        )
         payload_cols = [
             c[len("new_") :]
-            for c in t.schema.names
+            for c in feed_schema.names
             if c.startswith("new_") and c[len("new_") :] not in order_cols
         ]
-        for col in order_cols:
-            if f"new_{col}" not in t.schema.names:
-                raise ValueError(f"feed epoch {e} lacks order column new_{col}")
-        missing = bootstrap_payload - set(payload_cols)
-        if missing:
-            raise ValueError(
-                f"feed epoch {e} lacks new_* for payload column(s) "
-                f"{sorted(missing)}: publish with value_cols covering the "
-                "full payload to make the feed replicable"
+        tmp = f"{edir}.tmp-replica"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if feed_files:
+            for col in order_cols:
+                if f"new_{col}" not in feed_schema.names:
+                    raise ValueError(f"feed epoch {e} lacks order column new_{col}")
+            # completeness is judged against the payload universe AS OF
+            # this feed epoch when the publisher recorded it (newer
+            # feeds carry _epoch_meta.json): a pre-evolution epoch
+            # legitimately lacks columns added later.  Meta-less feeds
+            # fall back to the replica's bootstrap schema.
+            emeta_path = os.path.join(fdir, "_epoch_meta.json")
+            expected = (
+                set(read_json(emeta_path)["payload_cols_asof"])
+                if os.path.exists(emeta_path)
+                else bootstrap_payload
             )
-        deleted = pc.equal(t.column("change"), "deleted")
-        cols: dict = {k: t.column(k) for k in key_cols}
-        # delete tombstones carry the old winner's order tuple with ONLY
-        # the final tie-breaker (lsn) bumped: (old_ts, old_lsn+1) beats
-        # exactly the versions the source delete beat and loses to
-        # everything that beat it — bumping the timestamp instead would
-        # let the tombstone wrongly outrank a later re-insert that TIED
-        # the source delete on timestamp and won on lsn
-        for oc in order_cols[:-1]:
-            cols[oc] = pc.if_else(
-                deleted, t.column(f"old_{oc}"), t.column(f"new_{oc}")
-            )
-        last = order_cols[-1]
-        cols[last] = pc.if_else(
-            deleted,
-            pc.add(t.column(f"old_{last}"), 1).cast(
-                t.column(f"new_{last}").type
-            ),
-            t.column(f"new_{last}"),
-        )
-        for vcol in payload_cols:
-            cols[vcol] = t.column(f"new_{vcol}")
-        cols["op"] = pc.if_else(
-            deleted,
-            pa.scalar("delete", pa.string()),
-            pa.scalar("upsert", pa.string()),
-        )
-        os.makedirs(edir, exist_ok=True)
-        tmp = os.path.join(edir, ".tmp-replica.parquet")
-        pq_.write_table(pa.table(cols), tmp)
-        os.replace(tmp, os.path.join(edir, "chunk-00000.parquet"))
-        atomic_write_json(fp_path, {"md5": fp})
+            missing = expected - set(payload_cols)
+            if missing:
+                raise ValueError(
+                    f"feed epoch {e} lacks new_* for payload column(s) "
+                    f"{sorted(missing)}: publish with value_cols covering the "
+                    "full payload to make the feed replicable"
+                )
+            convert = _make_feed_to_events(key_cols, order_cols, payload_cols)
+            rd.read_parquet(feed_files).map_batches(
+                convert, batch_format="pyarrow"
+            ).write_parquet(tmp)
+        else:
+            os.makedirs(tmp, exist_ok=True)  # empty feed epoch -> empty fence
+        atomic_write_json(os.path.join(tmp, "_feed.json"), {"md5": fp})
+        os.rename(tmp, edir)  # conversion commit point
 
     refreshed = []
     for e in force_epochs:

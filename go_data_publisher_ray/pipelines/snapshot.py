@@ -134,6 +134,39 @@ def snapshot(
     return rd.from_items(items).map_batches(fn, batch_format="pyarrow", batch_size=1)
 
 
+def _hex_encode_binary(arr) -> pa.Array:
+    """Vectorized binary→hex for the text-sink boundary transcode: ONE
+    ``binascii.hexlify`` pass over the array's packed data buffer plus
+    numpy-doubled offsets — no per-row Python (the engine-wide rule)."""
+    import binascii
+
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = [_hex_encode_binary(c) for c in arr.chunks]
+        return pa.chunked_array(chunks if chunks else [pa.array([], pa.string())])
+    a = arr.cast(pa.large_binary())
+    if len(a) == 0:
+        return pa.array([], pa.string())
+    off = np.frombuffer(a.buffers()[1], np.int64)[a.offset : a.offset + len(a) + 1]
+    data = a.buffers()[2]
+    start, end = int(off[0]), int(off[-1])
+    hexed = (
+        binascii.hexlify(memoryview(data)[start:end])
+        if data is not None and end > start
+        else b""
+    )
+    new_off = ((off - start) * 2).astype(np.int64)
+    out = pa.Array.from_buffers(
+        pa.large_string(),
+        len(a),
+        [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(hexed)],
+    )
+    if a.null_count:
+        out = pc.if_else(pc.is_valid(a), out, pa.scalar(None, pa.large_string()))
+    return out.cast(pa.string())
+
+
 def export_snapshot(
     lake_dir: str,
     out_dir: str,
@@ -160,17 +193,7 @@ def export_snapshot(
         def hex_binaries(t: pa.Table) -> pa.Table:
             for i, f in enumerate(t.schema):
                 if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
-                    t = t.set_column(
-                        i,
-                        f.name,
-                        pa.array(
-                            [
-                                b.hex() if b is not None else None
-                                for b in t.column(f.name).to_pylist()
-                            ],
-                            pa.string(),
-                        ),
-                    )
+                    t = t.set_column(i, f.name, _hex_encode_binary(t.column(f.name)))
             return t
 
         ds = ds.map_batches(hex_binaries, batch_format="pyarrow")
@@ -386,7 +409,11 @@ def snapshot_diff(
         new_schema = schema_mod.schema_from_json(new_json)
         fields = [new_schema.field(k) for k in man.merge_spec.key_cols]
         fields.append(pa.field("change", pa.string()))
-        for o in list(man.merge_spec.order_cols) + list(extra):
+        # mirror make_partition_differ's presence filter: a value column
+        # not (yet) in the TO-endpoint schema is absent from this diff's
+        # schema too, not a KeyError
+        present = [c for c in extra if c in new_schema.names]
+        for o in list(man.merge_spec.order_cols) + present:
             typ = new_schema.field(o).type
             fields += [pa.field(f"old_{o}", typ), pa.field(f"new_{o}", typ)]
         return rd.from_arrow(pa.schema(fields).empty_table())

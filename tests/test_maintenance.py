@@ -14,6 +14,7 @@ from go_data_publisher_ray.pipelines.apply import apply_log, bootstrap
 from go_data_publisher_ray.pipelines.compact import compact
 from go_data_publisher_ray.pipelines.maintain import (
     _data_files_on_disk,
+    erase_keys,
     repartition_lake,
     vacuum,
 )
@@ -294,3 +295,30 @@ def test_repartition_keeps_fence_with_empty_partitions(ray_session, tmp_path):
     assert all(res.get("skipped") for res in results)  # nothing re-applies
     ok, msg = tables_equal(snapshot_table(src), snapshot_table(dst))
     assert ok, msg
+
+
+def test_repartition_carries_admin_epochs(ray_session, small_log, tmp_path):
+    """ADVICE r4: the erase-epoch collision guard (admin_epochs in
+    lake.json) must survive repartition_lake — otherwise an upstream
+    epoch reusing an administrative number on the NEW lake is silently
+    skipped as folded instead of refused."""
+    import pytest
+
+    from go_data_publisher_ray.pipelines.apply import apply_epoch
+    from go_data_publisher_ray.pipelines.snapshot import snapshot_table as snap
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    bootstrap(base, src, 8)
+    apply_log(events, src)
+    victim = snap(src).column("url")[0].as_py()
+    out = erase_keys(src, [victim])
+    assert Manifest(src).admin_epochs == {out["epoch"]}
+
+    repartition_lake(src, dst, 16)
+    assert Manifest(dst).admin_epochs == {out["epoch"]}
+    # and the guard actually fires on the new lake
+    collide = str(tmp_path / "collide_events")
+    os.makedirs(os.path.join(collide, f"epoch={out['epoch']}"))
+    with pytest.raises(ValueError, match="administrative"):
+        apply_log(collide, dst)

@@ -382,3 +382,133 @@ def test_replicate_tracks_schema_evolution(ray_session, tmp_path):
     assert "fetch_status" in got.schema.names
     ok, msg = tables_equal(snapshot_table(src), got)
     assert ok, msg
+
+
+def test_replica_survives_invalidation_across_evolution(ray_session, tmp_path):
+    """ADVICE r4 (medium): late-data invalidation reaching BEHIND a
+    schema-evolution epoch republishes pre-evolution feeds that
+    legitimately lack new_* for the later-added column.  The replica
+    validates completeness against the payload set AS OF each feed
+    epoch (recorded by the publisher in _epoch_meta.json), not its own
+    current schema — otherwise replication wedges permanently."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+    from go_data_publisher_ray.pipelines.tail import tail
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+    from go_data_publisher_ray.sources.generator import LogSpec, cached_fixture
+
+    spec = LogSpec(
+        n_base=1_000, n_sites=20, n_events=4_000, epoch_size=1_000,
+        chunk_size=2_000, html_min=16, html_max=32, text_pad=16, evolve_epoch=2,
+    )
+    log = cached_fixture(spec)
+    src = str(tmp_path / "src")
+    staged = str(tmp_path / "staged")
+    feed = str(tmp_path / "feed")
+    boot = str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+    shutil.copytree(os.path.join(log, "events"), staged)
+    vcols = VALUE_COLS + ("fetch_status",)
+
+    bootstrap(os.path.join(log, "base"), src, P)
+    tail(staged, src, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=vcols)
+    cursor = read_json(os.path.join(feed, "_cursor.json"))
+    export_snapshot(src, boot, upto_epoch=cursor["bootstrap_epoch"])
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    assert "fetch_status" in snapshot_table(replica).schema.names
+
+    # late data lands in epoch 1 — BEFORE the evolution epoch (2): the
+    # invalidation republishes epoch-1's feed with the epoch-1 schema,
+    # which has no fetch_status
+    late = pa_table_late("https://late.example/pre-evolution-late-row")
+    late = late.set_column(
+        late.schema.get_field_index("epoch"), "epoch", pa.array([1], pa.int32())
+    )
+    pq.write_table(late, os.path.join(staged, "epoch=1", "late-chunk.parquet"))
+    tail(staged, src, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=vcols)
+
+    r = replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)  # must not raise
+    assert 1 in r["refreshed_epochs"]
+    ok, msg = tables_equal(snapshot_table(src), snapshot_table(replica))
+    assert ok, msg
+
+
+def test_vacuum_sweeps_replica_events_and_erase_claim(
+    ray_session, small_log, lake_dir, tmp_path
+):
+    """ADVICE r4: converted feed events under _replica_events are dead
+    bytes once their epoch committed — vacuum sweeps them, replicate
+    still skips the swept epochs, and erase_keys' 'no byte of the key
+    survives under the lake root' claim holds on replica lakes too."""
+    from go_data_publisher_ray.pipelines.maintain import erase_keys, vacuum
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot, snapshot_table as snap
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    boot = str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    export_snapshot(lake_dir, boot, upto_epoch=out["bootstrap_epoch"])
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    ev_root = os.path.join(replica, "_replica_events")
+    v = vacuum(replica)
+    assert v["replica_event_files_deleted"] > 0
+    leftover = [
+        f for d in os.listdir(ev_root) if d.startswith("epoch=")
+        for f in os.listdir(os.path.join(ev_root, d)) if f.endswith(".parquet")
+    ]
+    assert leftover == []
+    # swept epochs still skip (fingerprint + committed), replica intact
+    assert replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)[
+        "applied_epochs"
+    ] == []
+    ok, msg = tables_equal(snapshot_table(lake_dir), snap(replica))
+    assert ok, msg
+
+    # erase a live key from the replica: its bytes must be gone from
+    # EVERY file under the replica root, _replica_events included
+    victim = snap(replica).column("url")[0].as_py()
+    erase_keys(replica, [victim])
+    hits = []
+    for root, _dirs, files in os.walk(replica):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                if victim.encode() in fh.read():
+                    hits.append(os.path.join(root, f))
+    assert hits == []
+
+
+def test_replicate_rejects_too_new_markerless_bootstrap(
+    ray_session, small_log, lake_dir, tmp_path
+):
+    """ADVICE r4: bootstrap_max_lsn is now enforced — a marker-less
+    (hand-assembled) export containing rows from epochs past the feed's
+    bootstrap point is refused by the lsn bound, not silently applied."""
+    import pytest
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+
+    toonew = str(tmp_path / "toonew_boot")
+    export_snapshot(lake_dir, toonew, upto_epoch=out["bootstrap_epoch"] + 3)
+    os.remove(os.path.join(toonew, "_export_marker"))  # hand-assembled dir
+    with pytest.raises(ValueError, match="too new"):
+        replicate(feed, str(tmp_path / "replica"), bootstrap_dir=toonew, num_partitions=4)

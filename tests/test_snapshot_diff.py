@@ -191,3 +191,40 @@ def test_diff_value_cols_across_evolution(ray_session, tmp_path):
         new_side.column("new_fetch_status").to_pylist(),
     ):
         assert fs == want[u], u
+
+
+def test_diff_empty_lake_skips_absent_value_col(ray_session, tmp_path):
+    """ADVICE r4: the empty-lake branch of snapshot_diff must apply the
+    same presence filter as make_partition_differ — a value column not
+    (yet) in the TO-epoch schema is skipped, not a KeyError."""
+    from go_data_publisher_ray.pipelines.apply import apply_epoch
+    from go_data_publisher_ray.pipelines.snapshot import snapshot_diff
+    from go_data_publisher_ray.state.manifest import Manifest
+
+    lake = str(tmp_path / "lake")
+    events = str(tmp_path / "events")
+    Manifest(lake, 4)  # pages spec, no bootstrap: zero file entries
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("lsn", pa.int64()),
+            ("op", pa.string()),
+            ("text", pa.string()),
+        ]
+    )
+    for e in (0, 1):
+        os.makedirs(os.path.join(events, f"epoch={e}"))
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            schema.empty_table(), os.path.join(events, f"epoch={e}", "c0.parquet")
+        )
+        apply_epoch(events, lake, e)
+
+    d = snapshot_diff(lake, 0, 1, value_cols=("text", "not_yet_there"))
+    t = d.take_all()
+    assert t == []
+    names = set(d.schema().names)
+    assert {"old_text", "new_text"} <= names
+    assert not any("not_yet_there" in n for n in names)
