@@ -146,6 +146,17 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--out", required=True, help="destination lake (must not exist)")
     rp.add_argument("--partitions", type=int, required=True)
 
+    ss = sub.add_parser(
+        "split-shard",
+        help="grow the fleet: split shard k/n into k/2n and (k+n)/2n (metadata-only)",
+    )
+    ss.add_argument("--lake", required=True, help="source shard lake")
+    ss.add_argument("--out-a", required=True, help="child lake k/2n (must not exist)")
+    ss.add_argument("--out-b", required=True, help="child lake (k+n)/2n (must not exist)")
+    ss.add_argument(
+        "--copy", action="store_true", help="copy data files instead of hardlinking"
+    )
+
     s = sub.add_parser("snapshot", help="export the merged state as parquet")
     s.add_argument("--lake", required=True)
     s.add_argument("--out", required=True)
@@ -337,6 +348,14 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintain import repartition_lake
 
             print(json.dumps(repartition_lake(args.lake, args.out, args.partitions)))
+        elif args.cmd == "split-shard":
+            from .pipelines.shard import split_shard
+
+            print(
+                json.dumps(
+                    split_shard(args.lake, args.out_a, args.out_b, link=not args.copy)
+                )
+            )
         elif args.cmd == "snapshot":
             from .pipelines.snapshot import export_snapshot
 

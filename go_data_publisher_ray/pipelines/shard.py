@@ -25,6 +25,7 @@ import shutil
 import pyarrow as pa
 
 from ..functions.hashing import partition_for
+from ..state.manifest import FileEntry, Manifest, atomic_write_json, read_json
 
 
 def shard_events(
@@ -72,3 +73,100 @@ def shard_events(
             )
         shutil.rmtree(staging, ignore_errors=True)
     return {"rows_per_shard": counts, "n_shards": n_shards}
+
+
+def split_shard(src_lake: str, dst_a: str, dst_b: str, *, link: bool = True) -> dict:
+    """Grow-the-fleet re-deal: split one shard lake ``k/n`` into two
+    child lakes ``k/2n`` and ``(k+n)/2n`` that together own exactly the
+    parent's key space and resume the SAME change log.
+
+    This is the partition-count-preserving half of consumer-group
+    rebalance (the reference grows by adding consumer services and
+    letting Kafka re-assign partitions,
+    `transactions-consumer/main.go:94-102`): key ownership is
+    ``hash(key) % P % n``, so with P fixed, every physical partition
+    dir of shard ``k/n`` maps deterministically to exactly one child —
+    ``part % 2n == k`` stays, ``part % 2n == k+n`` moves.  The split is
+    therefore METADATA-ONLY: lake.json (shard re-stamped, merge_spec /
+    admin_epochs / num_partitions carried), manifest records with file
+    entries filtered to the child's partitions (every epoch record is
+    kept, so committed-epoch resume and the schema history are
+    identical on both children), and the referenced data files
+    hardlinked (``link=False`` copies — for cross-filesystem moves; on
+    a real cluster this is an object-store/S3 server-side copy or a
+    plain ownership handoff, never a rewrite).
+
+    Run on a quiesced lake (no in-flight apply); an unsharded lake is
+    treated as ``0/1``.  Applying ``split_shard`` to all n lakes of a
+    fleet yields the 2n-fleet whose union equals the original table
+    (tests/test_shard_redeal.py).
+    """
+    man = Manifest(src_lake)
+    k, n = man.shard or (0, 1)
+    P = man.num_partitions
+    if 2 * n > P:
+        raise ValueError(
+            f"cannot split shard {k}/{n}: 2n={2 * n} shards exceed the lake's "
+            f"{P} partitions (some children would own no partition); "
+            "repartition the fleet to a higher partition count first"
+        )
+    children = [(dst_a, k, 2 * n), (dst_b, k + n, 2 * n)]
+    # the LIVE file set must exist; superseded history referenced by
+    # older manifest records may already be vacuumed — skipped, exactly
+    # as unreachable on the child as it was on the parent
+    state = man.load_state()
+    live_paths = set()
+    for part in range(P):
+        b, ds_ = state.live_files(part)
+        live_paths.update(fe.path for fe in ([b] if b else []) + ds_)
+    out = {}
+    for dst, ck, cn in children:
+        if os.path.exists(os.path.join(dst, "lake.json")):
+            raise ValueError(f"destination lake {dst} already exists")
+        os.makedirs(os.path.join(dst, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(dst, "checkpoints"), exist_ok=True)
+        meta = dict(man.meta)
+        meta["shard"] = [ck, cn]
+        atomic_write_json(os.path.join(dst, "lake.json"), meta)
+
+        linked_rows = linked_bytes = nfiles = 0
+        owned_parts = set()
+        for name in sorted(os.listdir(man.manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = read_json(os.path.join(man.manifest_dir, name))
+            mine = [f for f in rec.get("files", []) if f["partition"] % cn == ck]
+            rec = {**rec, "files": mine}
+            atomic_write_json(os.path.join(dst, "manifest", name), rec)
+            for fd in mine:
+                fe = FileEntry.from_dict(fd)
+                src_path = os.path.join(src_lake, fe.path)
+                dst_path = os.path.join(dst, fe.path)
+                if not os.path.exists(src_path):
+                    if fe.path in live_paths:
+                        raise FileNotFoundError(
+                            f"live data file missing from source lake: {fe.path}"
+                        )
+                    continue  # vacuumed history: unreachable either way
+                os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+                if not os.path.exists(dst_path):
+                    if link:
+                        try:
+                            os.link(src_path, dst_path)
+                        except OSError:
+                            shutil.copy2(src_path, dst_path)
+                    else:
+                        shutil.copy2(src_path, dst_path)
+                linked_rows += fe.rows
+                linked_bytes += fe.bytes
+                nfiles += 1
+                owned_parts.add(fe.partition)
+        Manifest(dst).refresh_checkpoints()
+        out[f"{ck}/{cn}"] = {
+            "lake": dst,
+            "partitions": len(owned_parts),
+            "files": nfiles,
+            "rows": linked_rows,
+            "bytes": linked_bytes,
+        }
+    return {"from": f"{k}/{n}", "children": out}
