@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument(
         "--entity",
-        choices=["pages", "intervals"],
+        choices=["pages", "intervals", "content"],
         default="pages",
         help="merge semantics for the lake (schema.MergeSpec); fixed at creation",
     )
@@ -104,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="retry a failed epoch up to N times, halving task "
         "parallelism each time (adaptive shrink on consecutive errors)",
+    )
+    a.add_argument(
+        "--slice-bytes",
+        type=int,
+        default=None,
+        help="sub-epoch backlog bound: apply oversized epochs in "
+        "file-granular slices of at most this many source bytes "
+        "(GDP_SLICE_BYTES env equivalent)",
     )
     a.add_argument(
         "--patch",
@@ -263,9 +271,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "bootstrap":
             from .pipelines.apply import bootstrap
-            from .schema import INTERVALS_SPEC
+            from .schema import CONTENT_SPEC, INTERVALS_SPEC
 
-            spec = INTERVALS_SPEC if args.entity == "intervals" else None
+            spec = {"intervals": INTERVALS_SPEC, "content": CONTENT_SPEC}.get(
+                args.entity
+            )
             shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
             print(
                 json.dumps(
@@ -307,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
                         force=args.force,
                         patch_rules=patch_rules,
                         shard=shard,
+                        slice_bytes=args.slice_bytes,
                     )
                 ]
             else:
@@ -317,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
                     patch_rules=patch_rules,
                     shard=shard,
                     retries=args.retries,
+                    slice_bytes=args.slice_bytes,
                 )
             print(json.dumps(out))
         elif args.cmd == "tail":

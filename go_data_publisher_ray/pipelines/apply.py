@@ -194,8 +194,15 @@ def apply_epoch(
     fault: dict | None = None,
     shard: tuple[int, int] | None = None,
     parallelism_scale: float = 1.0,
+    slice_bytes: int | None = None,
 ) -> dict:
     """Apply one epoch of change events; idempotent (skip if committed).
+
+    ``slice_bytes`` (or env ``GDP_SLICE_BYTES``) bounds the backlog
+    INSIDE an epoch: a catch-up epoch larger than the bound is applied
+    as several file-granular passes, each writing its own
+    ``delta_{epoch}_sNNN`` files, with ONE manifest commit listing them
+    all — the exchange working set never exceeds one slice.
 
     ``force=True`` re-applies a committed epoch from its current files —
     the late-data/backfill path (the analog of re-publishing old ticks,
@@ -263,105 +270,142 @@ def apply_epoch(
         _times[0] -= 1
         raise RuntimeError("injected transient apply failure (fault.raise_times)")
 
-    def _normalized():
-        blocks = max(1, int(_read_blocks_for(_dir_bytes(edir)) * parallelism_scale))
-        ds = rd.read_parquet(edir, override_num_blocks=blocks)
-        ds = ds.map_batches(
-            AddPartitionAndCombine(
-                man.num_partitions,
-                salt=salt,
-                patch_rules=patch_rules,
-                spec=spec,
-                shard=shard,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-        if salt > 1:
-            import functools
+    def _one_pass(paths: list[str], nbytes: int, slice_tag: str) -> list[dict]:
+        """One read→normalize→exchange→delta-write pass over a file
+        subset of the epoch; returns the writer stats rows."""
 
-            salted = functools.partial(collapse_group, spec=spec)
-            ds = ds.groupby(["part", "salt"]).map_groups(
-                salted, batch_format="pyarrow"
-            )
-        return ds
-
-    writer_kw = dict(
-        crash_marker=fault.get("crash_marker"),
-        poison_parts=tuple(fault.get("poison_parts", ())),
-        spec=spec,
-    )
-    # Exchange choice (GDP_EXCHANGE): "sort" (default) = groupby(part)
-    # sort shuffle; "hash" = hash repartition on part + whole-block
-    # multi-partition writer — no global sort of payload rows (the sort
-    # is the memcpy-heavy step on wide binary rows; a hash exchange only
-    # moves each row once).  Requires DataContext.shuffle_strategy =
-    # HASH_SHUFFLE to take effect (see bench.py).
-    if use_hash_exchange:
-        # NOTE: HASH_SHUFFLE is scoped to this epoch's dataset —
-        # groupby().map_groups hangs under it in ray 2.49, so the
-        # strategy must not leak to other pipelines in the session.  The
-        # Dataset snapshots DataContext at CREATION, so the scoped switch
-        # wraps the read/map construction too — and sits inside the same
-        # try/finally so an exception while BUILDING the pipeline (not
-        # just executing it) cannot leak HASH_SHUFFLE session-wide.
-        from ray.data import DataContext
-        from ray.data.context import ShuffleStrategy
-
-        from ..stages.merge import MultiPartDeltaWriter
-
-        _ctx = DataContext.get_current()
-        _prev_strategy = _ctx.shuffle_strategy
-        try:
-            _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            stats = _normalized().repartition(
-                num_blocks=man.num_partitions, keys=["part"]
-            ).map_batches(
-                MultiPartDeltaWriter(lake_dir, epoch, **writer_kw),
+        def _normalized():
+            blocks = max(1, int(_read_blocks_for(nbytes) * parallelism_scale))
+            ds = rd.read_parquet(paths, override_num_blocks=blocks)
+            ds = ds.map_batches(
+                AddPartitionAndCombine(
+                    man.num_partitions,
+                    salt=salt,
+                    patch_rules=patch_rules,
+                    spec=spec,
+                    shard=shard,
+                ),
                 batch_format="pyarrow",
-                batch_size=None,
+                batch_size=batch_size,
+            )
+            if salt > 1:
+                import functools
+
+                salted = functools.partial(collapse_group, spec=spec)
+                ds = ds.groupby(["part", "salt"]).map_groups(
+                    salted, batch_format="pyarrow"
+                )
+            return ds
+
+        writer_kw = dict(
+            crash_marker=fault.get("crash_marker"),
+            poison_parts=tuple(fault.get("poison_parts", ())),
+            spec=spec,
+            slice_tag=slice_tag,
+        )
+        # Exchange choice (GDP_EXCHANGE): "sort" (default) = groupby(part)
+        # sort shuffle; "hash" = hash repartition on part + whole-block
+        # multi-partition writer — no global sort of payload rows (the sort
+        # is the memcpy-heavy step on wide binary rows; a hash exchange only
+        # moves each row once).  Requires DataContext.shuffle_strategy =
+        # HASH_SHUFFLE to take effect (see bench.py).
+        if use_hash_exchange:
+            # NOTE: HASH_SHUFFLE is scoped to this epoch's dataset —
+            # groupby().map_groups hangs under it in ray 2.49, so the
+            # strategy must not leak to other pipelines in the session.  The
+            # Dataset snapshots DataContext at CREATION, so the scoped switch
+            # wraps the read/map construction too — and sits inside the same
+            # try/finally so an exception while BUILDING the pipeline (not
+            # just executing it) cannot leak HASH_SHUFFLE session-wide.
+            from ray.data import DataContext
+            from ray.data.context import ShuffleStrategy
+
+            from ..stages.merge import MultiPartDeltaWriter
+
+            _ctx = DataContext.get_current()
+            _prev_strategy = _ctx.shuffle_strategy
+            try:
+                _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+                stats = _normalized().repartition(
+                    num_blocks=man.num_partitions, keys=["part"]
+                ).map_batches(
+                    MultiPartDeltaWriter(lake_dir, epoch, **writer_kw),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+                return stats.take_all()
+            finally:
+                _ctx.shuffle_strategy = _prev_strategy
+        elif os.environ.get("GDP_EXCHANGE") == "ref" and salt <= 1:
+            # payload-reference exchange: only light key rows go through
+            # the sort shuffle; payload bytes take the map-side spill-file
+            # path (written once, read once, per-partition files on shared
+            # lake storage).  See stages/merge.py PayloadSpill/RefDeltaWriter.
+            import shutil as _shutil
+
+            from ..stages.merge import PayloadSpill, RefDeltaWriter
+
+            epoch_schema_probe = _parquet_dir_schema(edir)
+            column_order = [
+                n for n in epoch_schema_probe.names if n not in ("epoch", "part")
+            ]
+            spill_dir = os.path.join(
+                lake_dir, "spill", f"epoch={epoch:06d}{slice_tag}"
+            )
+            _shutil.rmtree(spill_dir, ignore_errors=True)  # orphans from a crash
+            os.makedirs(spill_dir, exist_ok=True)
+            light = _normalized().map_batches(
+                PayloadSpill(spill_dir, spec=spec), batch_format="pyarrow"
+            )
+            stats = light.groupby("part").map_groups(
+                RefDeltaWriter(
+                    lake_dir,
+                    epoch,
+                    spill_dir=spill_dir,
+                    column_order=column_order,
+                    **writer_kw,
+                ),
+                batch_format="pyarrow",
             )
             rows = stats.take_all()
-        finally:
-            _ctx.shuffle_strategy = _prev_strategy
-    elif os.environ.get("GDP_EXCHANGE") == "ref" and salt <= 1:
-        # payload-reference exchange: only light key rows go through
-        # the sort shuffle; payload bytes take the map-side spill-file
-        # path (written once, read once, per-partition files on shared
-        # lake storage).  See stages/merge.py PayloadSpill/RefDeltaWriter.
-        import shutil as _shutil
+            _shutil.rmtree(spill_dir, ignore_errors=True)  # transient shuffle files
+            return rows
+        else:
+            stats = _normalized().groupby("part").map_groups(
+                DeltaWriter(lake_dir, epoch, **writer_kw),
+                batch_format="pyarrow",
+            )
+            return stats.take_all()
 
-        from ..stages.merge import PayloadSpill, RefDeltaWriter
+    # Sub-epoch backlog bound (the MaxPollRecords analog,
+    # `transactions-consumer/main.go:56`): an oversized catch-up epoch
+    # (upstream outage -> one giant epoch) is applied in file-granular
+    # slices of <= slice_bytes each, so the exchange working set is
+    # bounded by the slice size regardless of backlog.  Slices write
+    # delta_{epoch}_sNNN files side by side and commit under ONE epoch
+    # record — the LWW merge kernels are associative (unique lsn
+    # tie-breaker), so slice boundaries cannot change the merged state.
+    slice_bytes = slice_bytes or int(os.environ.get("GDP_SLICE_BYTES", 0)) or None
+    groups: list[list[str]] = [src_files]
+    if slice_bytes and src_bytes > slice_bytes and len(src_files) > 1:
+        groups, cur, cur_b = [], [], 0
+        for f in src_files:
+            sz = os.path.getsize(os.path.join(edir, f))
+            if cur and cur_b + sz > slice_bytes:
+                groups.append(cur)
+                cur, cur_b = [], 0
+            cur.append(f)
+            cur_b += sz
+        groups.append(cur)
 
-        epoch_schema_probe = _parquet_dir_schema(edir)
-        column_order = [
-            n for n in epoch_schema_probe.names if n not in ("epoch", "part")
-        ]
-        spill_dir = os.path.join(lake_dir, "spill", f"epoch={epoch:06d}")
-        _shutil.rmtree(spill_dir, ignore_errors=True)  # orphans from a crash
-        os.makedirs(spill_dir, exist_ok=True)
-        light = _normalized().map_batches(
-            PayloadSpill(spill_dir, spec=spec), batch_format="pyarrow"
-        )
-        stats = light.groupby("part").map_groups(
-            RefDeltaWriter(
-                lake_dir,
-                epoch,
-                spill_dir=spill_dir,
-                column_order=column_order,
-                **writer_kw,
-            ),
-            batch_format="pyarrow",
-        )
-        rows = stats.take_all()
-        _shutil.rmtree(spill_dir, ignore_errors=True)  # transient shuffle files
-    else:
-        stats = _normalized().groupby("part").map_groups(
-            DeltaWriter(lake_dir, epoch, **writer_kw),
-            batch_format="pyarrow",
-        )
-        rows = stats.take_all()
-    entries, errors = _stats_to_entries(rows)
+    entries, errors = [], []
+    for i, group in enumerate(groups):
+        tag = f"_s{i:03d}" if len(groups) > 1 else ""
+        paths = [os.path.join(edir, f) for f in group]
+        nbytes = sum(os.path.getsize(p) for p in paths)
+        e2, r2 = _stats_to_entries(_one_pass(paths, nbytes, tag))
+        entries += e2
+        errors += r2
 
     epoch_schema = _parquet_dir_schema(edir)
     if "epoch" in epoch_schema.names:
@@ -391,6 +435,8 @@ def apply_epoch(
                 if parallelism_scale != 1.0
                 else {}
             ),
+            # recorded when the sub-epoch backlog bound sliced this epoch
+            **({"slices": len(groups)} if len(groups) > 1 else {}),
         },
     )
     return {
@@ -497,6 +543,7 @@ def apply_log(
     shard: tuple[int, int] | None = None,
     retries: int = 0,
     fault: dict | None = None,
+    slice_bytes: int | None = None,
 ) -> list[dict]:
     """Serial epoch loop with resume: committed epochs are skipped (the
     watermark+1 resume of `transactions-producer/domain/processor.go:194-210`,
@@ -545,6 +592,7 @@ def apply_log(
                 patch_rules=patch_rules,
                 shard=shard,
                 fault=fault,
+                slice_bytes=slice_bytes,
             )
         )
         applied += 1

@@ -266,15 +266,18 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
 
     if current.num_rows:
         erase_epoch = max(epochs, default=-1) + 1
-        # tombstones that win LWW: bump every order column of the
-        # current winner (timestamps +1us, integers +1)
+        # tombstones that win the merge: bump every order column of the
+        # current winner past it in the WINNING direction — +1 (us) for
+        # last-writer-wins, -1 for a first_wins (content-addressed)
+        # entity where lower order tuples win
+        step = -1 if spec.first_wins else 1
         cols = {kcol: current.column(kcol)}
         for oc in spec.order_cols:
             col = current.column(oc)
             if pa.types.is_timestamp(col.type):
-                bumped = pa.compute.add(col, pa.scalar(1, pa.duration(col.type.unit)))
+                bumped = pa.compute.add(col, pa.scalar(step, pa.duration(col.type.unit)))
             else:
-                bumped = pa.compute.add(col, 1)
+                bumped = pa.compute.add(col, step)
             cols[oc] = bumped.cast(col.type)
         cols["op"] = pa.array(["delete"] * current.num_rows, pa.string())
         tomb = pa.table(cols)

@@ -127,6 +127,10 @@ def publish_changefeed(
             tmp = f"{edir}.tmp-publish"
             ds = snapshot_diff(lake_dir, prev, e, value_cols=value_cols)
             ds.write_parquet(tmp)
+            # an all-no-op diff (e.g. a content-addressed entity's pure
+            # re-publish epoch) writes zero files — the empty feed dir
+            # is still the publish fence
+            os.makedirs(tmp, exist_ok=True)
             # record the payload universe AS OF this epoch (the TO
             # endpoint's cumulative unified schema): the replica
             # consumer validates feed completeness against THIS set —
@@ -205,20 +209,27 @@ def invalidate_feeds_from(out_dir: str, epoch: int) -> dict:
 
 
 def _make_feed_to_events(
-    key_cols: list[str], order_cols: list[str], payload_cols: list[str]
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+    first_wins: bool = False,
 ):
     """Factory for the per-batch feed→change-event transform replicate()
     runs as a ``map_batches`` stage (pure Arrow, batch-local — no state,
     no driver materialization).
 
     Delete tombstones carry the old winner's order tuple with ONLY the
-    final tie-breaker (lsn) bumped: (old_ts, old_lsn+1) beats exactly
-    the versions the source delete beat and loses to everything that
-    beat it — bumping the timestamp instead would let the tombstone
-    wrongly outrank a later re-insert that TIED the source delete on
-    timestamp and won on lsn."""
+    final tie-breaker (lsn) bumped one step in the WINNING direction:
+    (old_ts, old_lsn+1) beats exactly the versions the source delete
+    beat and loses to everything that beat it — bumping the timestamp
+    instead would let the tombstone wrongly outrank a later re-insert
+    that TIED the source delete on timestamp and won on lsn.  For a
+    ``first_wins`` (content-addressed) entity lower tuples win, so the
+    step is -1."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    step = -1 if first_wins else 1
 
     def convert(t: pa.Table) -> pa.Table:
         deleted = pc.equal(t.column("change"), "deleted")
@@ -228,7 +239,7 @@ def _make_feed_to_events(
         last = order_cols[-1]
         cols[last] = pc.if_else(
             deleted,
-            pc.add(t.column(f"old_{last}"), 1).cast(t.column(f"new_{last}").type),
+            pc.add(t.column(f"old_{last}"), step).cast(t.column(f"new_{last}").type),
             t.column(f"new_{last}"),
         )
         for vcol in payload_cols:
@@ -478,7 +489,9 @@ def replicate(
                     f"{sorted(missing)}: publish with value_cols covering the "
                     "full payload to make the feed replicable"
                 )
-            convert = _make_feed_to_events(key_cols, order_cols, payload_cols)
+            convert = _make_feed_to_events(
+                key_cols, order_cols, payload_cols, spec.first_wins
+            )
             rd.read_parquet(feed_files).map_batches(
                 convert, batch_format="pyarrow"
             ).write_parquet(tmp)

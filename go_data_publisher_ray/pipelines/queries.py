@@ -333,6 +333,66 @@ def cdc_content_dedup(sf_dir: str):
 
 
 @query(
+    "cdc_content_first_writer",
+    """
+    SELECT content_hash, first_event, n_publishes FROM (
+      SELECT md5(props) AS content_hash,
+             min(event_id) AS first_event,
+             count(*) AS n_publishes
+      FROM events GROUP BY 1)
+    WHERE n_publishes > 1
+    """,
+)
+def cdc_content_first_writer(sf_dir: str):
+    """Content-addressed identity registry (the CONTENT_SPEC / computors
+    semantics as a query, K12 —
+    `computors-consumer/consume/processor.go:146-173`): key = md5 of the
+    payload, FIRST writer wins, so re-publishes of identical content
+    never change the registered row; output = the re-published
+    identities with their registered (first) event.
+
+    Shape: in-batch FWW pre-combine + per-batch partial counts (the
+    combiner), then ONE hash exchange on the content partition and a
+    final FWW collapse + count-sum per group — same plan as the LWW
+    top-1 with the order direction inverted (`keep_last_by` first_wins,
+    the same kernel the lake entity merges with)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        h = md5_hex_array(t.column("props"))
+        t = pa.table(
+            {
+                "content_hash": pa.array(h, pa.string()),
+                "first_event": t.column("event_id"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        t = t.append_column(
+            "part", pa.array(partition_for(t.column("content_hash"), 64))
+        )
+        # combiner: FWW winner + partial publish count per hash
+        agg = (
+            t.group_by(["part", "content_hash"])
+            .aggregate([("first_event", "min"), ("n", "sum")])
+            .rename_columns(["part", "content_hash", "first_event", "n"])
+        )
+        return agg
+
+    def fold(g: pa.Table) -> pa.Table:
+        agg = (
+            g.group_by("content_hash")
+            .aggregate([("first_event", "min"), ("n", "sum")])
+            .rename_columns(["content_hash", "first_event", "n_publishes"])
+        )
+        return agg.filter(pc.greater(agg.column("n_publishes"), 1)).select(
+            ["content_hash", "first_event", "n_publishes"]
+        )
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        part, batch_format="pyarrow"
+    ).groupby("part").map_groups(fold, batch_format="pyarrow")
+
+
+@query(
     "cdc_filter_valid",
     """
     SELECT event_type, count(*) AS n_valid

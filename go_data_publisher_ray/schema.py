@@ -78,12 +78,20 @@ class MergeSpec:
     - ``lsn_col``: per-row lineage ordinal for checkpoints/watermarks.
     - ``has_tombstones``: whether an ``op`` column with delete
       semantics exists (intervals never delete).
+    - ``first_wins``: conflict resolution keeps the MIN order tuple
+      instead of the max — first-writer-wins, the semantics of a
+      content-addressed immutable store where the key is the content
+      hash and any re-publish of the same key is by construction the
+      same bytes, hence a no-op (the computors analog:
+      `computors-consumer/consume/processor.go:146-173` skips the
+      write when the identity already exists).
     """
 
     key_cols: tuple[str, ...] = ("url",)
     order_cols: tuple[str, ...] = ("warc_ts", "lsn")
     lsn_col: str = "lsn"
     has_tombstones: bool = True
+    first_wins: bool = False
 
     @property
     def partition_col(self) -> str:
@@ -95,6 +103,7 @@ class MergeSpec:
             "order_cols": list(self.order_cols),
             "lsn_col": self.lsn_col,
             "has_tombstones": self.has_tombstones,
+            "first_wins": self.first_wins,
         }
 
     @classmethod
@@ -104,6 +113,8 @@ class MergeSpec:
             order_cols=tuple(d["order_cols"]),
             lsn_col=d["lsn_col"],
             has_tombstones=d["has_tombstones"],
+            # absent in lakes created before the content entity existed
+            first_wins=d.get("first_wins", False),
         )
 
 
@@ -117,6 +128,22 @@ INTERVALS_SPEC = MergeSpec(
     order_cols=("to_lsn", "lsn"),
     lsn_col="lsn",
     has_tombstones=False,
+)
+
+# Third entity: content-addressed identities (the computors analog,
+# K12 — `computors-consumer/consume/processor.go:146-173`): the key IS
+# the content hash, so identical re-publishes map to the same key and
+# first-writer-wins makes them end-to-end no-ops (nothing changes in
+# the lake, nothing appears on the changefeed, nothing reaches a
+# replica).  Tombstones exist for administrative erasure only — under
+# first_wins a later delete event loses to the stored row by design
+# (the store is immutable); erase_keys bumps the order DOWNWARD.
+CONTENT_SPEC = MergeSpec(
+    key_cols=("content_hash",),
+    order_cols=("lsn",),
+    lsn_col="lsn",
+    has_tombstones=True,
+    first_wins=True,
 )
 
 

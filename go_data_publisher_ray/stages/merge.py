@@ -70,16 +70,20 @@ def lww_collapse(table: pa.Table) -> pa.Table:
 
 
 def keep_last_by(
-    table: pa.Table, key_cols: list[str], order_cols: list[str]
+    table: pa.Table, key_cols: list[str], order_cols: list[str],
+    first_wins: bool = False,
 ) -> pa.Table:
     """Generalized LWW: keep one row per composite key, the max by
-    ``order_cols`` (all descending).  Same vectorized sort +
+    ``order_cols`` (all descending).  ``first_wins=True`` inverts the
+    direction (keep the MIN order tuple — the content-addressed
+    immutable-store semantics).  Same vectorized sort +
     adjacent-compare approach as ``lww_collapse``; keys must be
     non-null."""
     if table.num_rows == 0:
         return table
+    direction = "ascending" if first_wins else "descending"
     sort_keys = [(k, "ascending") for k in key_cols] + [
-        (c, "descending") for c in order_cols
+        (c, direction) for c in order_cols
     ]
     table = table.combine_chunks()
     table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
@@ -101,7 +105,9 @@ def collapse_table(table: pa.Table, spec: MergeSpec = PAGES_SPEC) -> pa.Table:
     ``keep_last_by`` kernel (same sort + adjacent-compare shape)."""
     if spec == PAGES_SPEC:
         return lww_collapse(table)
-    return keep_last_by(table, list(spec.key_cols), list(spec.order_cols))
+    return keep_last_by(
+        table, list(spec.key_cols), list(spec.order_cols), spec.first_wins
+    )
 
 
 def drop_tombstones(table: pa.Table) -> pa.Table:
@@ -251,6 +257,7 @@ class DeltaWriter:
         poison_parts: tuple[int, ...] = (),
         deadletter: bool = True,
         spec: MergeSpec = PAGES_SPEC,
+        slice_tag: str = "",
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -259,7 +266,11 @@ class DeltaWriter:
         self.poison_parts = tuple(poison_parts)
         self.deadletter = deadletter
         self.spec = spec
-        self.__name__ = f"DeltaWriter_e{epoch}"  # ray map_groups wants a __name__
+        # backlog-bounded sub-epoch slice (pipelines/apply.py): slices
+        # of one epoch write delta_{epoch}_sNNN.parquet side by side and
+        # commit together under the one epoch record
+        self.slice_tag = slice_tag
+        self.__name__ = f"DeltaWriter_e{epoch}{slice_tag}"  # ray map_groups wants a __name__
 
     def _stats(self, part: int, rel: str, rows: int, size: int, max_lsn: int, error: str) -> pa.Table:
         return pa.table(
@@ -288,7 +299,9 @@ class DeltaWriter:
             out = collapse_table(group, self.spec)
             drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
             out = out.drop_columns(drop)
-            rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
+            rel = os.path.join(
+                f"part={part:05d}", f"delta_{self.epoch:06d}{self.slice_tag}.parquet"
+            )
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             size = atomic_write_parquet(out, abspath)
@@ -456,7 +469,9 @@ class RefDeltaWriter(DeltaWriter):
                 elif payload is not None and name in payload.schema.names:
                     cols[name] = payload.column(name)
             out = pa.table(cols)
-            rel = os.path.join(f"part={part:05d}", f"delta_{self.epoch:06d}.parquet")
+            rel = os.path.join(
+                f"part={part:05d}", f"delta_{self.epoch:06d}{self.slice_tag}.parquet"
+            )
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
             size = atomic_write_parquet(out, abspath)

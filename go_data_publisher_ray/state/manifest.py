@@ -109,9 +109,15 @@ class LakeState:
                 f"base already folds epochs up to {base_upto} (compaction is "
                 f"the retention horizon)"
             )
+        # key on (epoch, path): an epoch applied in backlog-bounded
+        # slices (pipelines/apply.py slice_bytes) commits several delta
+        # files per partition under ONE epoch — deterministic path order
+        # keeps the merge stable (and FileEntry itself is unorderable)
         live = [
             fe
-            for (e, fe) in sorted(self.deltas.get(part, []))
+            for (e, fe) in sorted(
+                self.deltas.get(part, []), key=lambda t: (t[0], t[1].path)
+            )
             if e > base_upto and (upto_epoch is None or e <= upto_epoch)
         ]
         return self.base.get(part), live
