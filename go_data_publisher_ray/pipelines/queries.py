@@ -2312,24 +2312,54 @@ _KM_MODELS: dict = {}
 
 
 def _kmeans_model(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> dict:
-    """Train (once per sf_dir) and cache the k-means model; init = the
-    first k vectors by vec_id (the SQL twin's ``vec_id < k``)."""
+    """Train-once-serve-many, DURABLY: the trained model is persisted as
+    a versioned parquet in the ModelStore (keyed by source-file identity
+    + hyper-parameters), so a SECOND process — or another node reading
+    the shared store — serves IVF queries with zero training passes.
+    The in-process dict stays as the hot cache on top."""
     key = (os.path.abspath(sf_dir), k, iters)
-    if key not in _KM_MODELS:
-        import pyarrow.parquet as pq
+    if key in _KM_MODELS:
+        return _KM_MODELS[key]
 
-        from ..stages import kmeans as km
+    import hashlib
+    import json
 
-        t = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        t = t.filter(pc.less(t.column("vec_id"), k))
-        t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
-        init_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        init_mat = ann_stage.fixed_len_matrix(t.column("embedding"))
-        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        _KM_MODELS[key] = km.train_kmeans(ds, init_ids, init_mat, iters=iters)
-    return _KM_MODELS[key]
+    from ..stages import kmeans as km
+    from ..state.models import ModelStore
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    meta = {
+        "source": os.path.abspath(src),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "k": k,
+        "iters": iters,
+        "trainer": "kmeans-exact-int-v1",
+    }
+    name = "kmeans_" + hashlib.md5(
+        json.dumps(meta, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    store = ModelStore()
+    hit = store.load(name, expect_meta=meta)
+    if hit is not None:
+        _KM_MODELS[key] = km.model_from_table(hit[0])
+        return _KM_MODELS[key]
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t.column("vec_id"), k))
+    t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+    init_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    init_mat = ann_stage.fixed_len_matrix(t.column("embedding"))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = km.train_kmeans(ds, init_ids, init_mat, iters=iters)
+    store.save(name, km.model_to_table(model), meta)
+    _KM_MODELS[key] = model
+    return model
 
 
 def _kmeans_assigned(sf_dir: str):

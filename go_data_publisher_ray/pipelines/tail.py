@@ -157,6 +157,9 @@ def serve_status(lake_dir: str, port: int = 0):
             elif self.path == "/status":
                 body = _json.dumps(status(lake_dir), default=str).encode()
                 ctype = "application/json"
+            elif self.path == "/metrics":
+                body = metrics_text(lake_dir).encode()
+                ctype = "text/plain; version=0.0.4"
             else:
                 self.send_error(404)
                 return
@@ -172,6 +175,49 @@ def serve_status(lake_dir: str, port: int = 0):
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
+
+
+def metrics_text(lake_dir: str) -> str:
+    """``status()`` re-expressed as Prometheus text exposition — the
+    scrape surface the reference exposes on every service
+    (`transactions-producer/domain/metrics.go:19-50` gauges like last
+    processed tick / fetched / published counts).  Gauge names mirror
+    the status fields; per-partition lineage rides a ``partition``
+    label."""
+    st = status(lake_dir)
+    last = st["recent_epochs"][-1] if st["recent_epochs"] else {}
+    lines: list[str] = []
+
+    def gauge(name: str, value, help_: str, labels: str = "") -> None:
+        if value is None:
+            return
+        if not any(line.startswith(f"# TYPE {name} ") for line in lines):
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} gauge")
+        lines.append(f"{name}{labels} {value}")
+
+    gauge("gdp_last_committed_epoch", st["last_committed_epoch"],
+          "highest committed epoch (the tick watermark analog)")
+    gauge("gdp_committed_at_lsn", st["committed_at_lsn"],
+          "high LSN watermark across partitions")
+    gauge("gdp_epoch_gaps", len(st["gaps"]), "missing epochs between first and last commit")
+    gauge("gdp_schema_version", st["schema_version"], "cumulative schema evolution count")
+    gauge("gdp_num_partitions", st["num_partitions"], "lake partition count")
+    gauge("gdp_total_rows", st["total_rows"], "rows across live base+delta files")
+    gauge("gdp_total_bytes", st["total_bytes"], "bytes across live base+delta files")
+    gauge("gdp_last_epoch_events", last.get("events"),
+          "change events in the most recent committed epoch")
+    gauge("gdp_last_epoch_events_per_sec", last.get("events_per_sec"),
+          "apply throughput of the most recent committed epoch")
+    for p, cp in sorted(st["partitions"].items()):
+        lbl = f'{{partition="{p}"}}'
+        gauge("gdp_partition_last_lsn", cp["last_lsn"],
+              "per-partition lineage: last applied LSN", lbl)
+        gauge("gdp_partition_rows", cp["row_count"],
+              "per-partition lineage: live row count", lbl)
+        gauge("gdp_partition_bytes", cp["bytes"],
+              "per-partition lineage: live bytes", lbl)
+    return "\n".join(lines) + "\n"
 
 
 def status(lake_dir: str) -> dict:

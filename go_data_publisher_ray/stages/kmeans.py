@@ -61,6 +61,34 @@ def init_centroids_c4(mat: np.ndarray) -> np.ndarray:
     return res.reshape(q.shape)
 
 
+def model_to_table(model: dict) -> pa.Table:
+    """Long-form (cell_id, dim, c4) table of a trained model — the
+    bit-exact parquet form the ModelStore persists (c4 is the int64
+    1e-4-grid centroid matrix, so a reloaded model serves IDENTICAL
+    assignments to the process that trained it)."""
+    cell_ids = np.asarray(model["cell_ids"], dtype=np.int64)
+    c4 = np.asarray(model["c4"], dtype=np.int64)
+    k, d = c4.shape
+    return pa.table(
+        {
+            "cell_id": pa.array(np.repeat(cell_ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "c4": pa.array(c4.ravel()),
+        }
+    )
+
+
+def model_from_table(t: pa.Table) -> dict:
+    cell = t.column("cell_id").to_numpy(zero_copy_only=False)
+    dim = t.column("dim").to_numpy(zero_copy_only=False)
+    c4f = t.column("c4").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dim, cell))
+    cell, c4f = cell[order], c4f[order]
+    cell_ids = np.unique(cell)
+    d = int(dim.max()) + 1
+    return {"cell_ids": cell_ids, "c4": c4f.reshape(len(cell_ids), d)}
+
+
 class TrainedAssigner:
     """Actor-pool map_batches stage: nearest (max-cosine) trained
     centroid per vector; ties -> lower cell id (np.argmax first-max).
