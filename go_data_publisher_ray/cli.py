@@ -134,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
         help="relay mode: publish each applied epoch's changefeed here",
     )
     t.add_argument("--publish-value-cols", default=None)
+    t.add_argument(
+        "--slice-bytes",
+        type=int,
+        default=None,
+        help="sub-epoch backlog bound for applied epochs (see apply)",
+    )
 
     c = sub.add_parser("compact", help="fold deltas into new base files")
     c.add_argument("--lake", required=True)
@@ -346,6 +352,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_idle_polls=args.max_idle,
                 publish_to=args.publish_to,
                 publish_value_cols=vcols,
+                slice_bytes=args.slice_bytes,
             )
             print(json.dumps(out))
         elif args.cmd == "compact":

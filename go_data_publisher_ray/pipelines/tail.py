@@ -51,6 +51,7 @@ def tail(
     salt: int = 0,
     publish_to: str | None = None,
     publish_value_cols: tuple[str, ...] = (),
+    slice_bytes: int | None = None,
 ) -> list[dict]:
     """Apply new epochs as they appear, and force-reapply committed
     epochs whose directories grew (late files); at-least-once +
@@ -91,7 +92,10 @@ def tail(
         regrown_ok: list[int] = []
         for e in grown:
             try:
-                r = apply_epoch(events_dir, lake_dir, e, salt=salt, force=True)
+                r = apply_epoch(
+                    events_dir, lake_dir, e, salt=salt, force=True,
+                    slice_bytes=slice_bytes,
+                )
                 r["regrown"] = True
                 results.append(r)
                 regrown_ok.append(e)
@@ -100,7 +104,7 @@ def tail(
                 refused.add(e)  # record ONCE; counts as idle thereafter
                 results.append({"epoch": e, "regrown": True, "refused": str(exc)})
         if pending:
-            rs = apply_log(events_dir, lake_dir, salt=salt)
+            rs = apply_log(events_dir, lake_dir, salt=salt, slice_bytes=slice_bytes)
             applied_now = [r for r in rs if not r.get("skipped")]
             results.extend(applied_now)
             if applied_now:
