@@ -345,9 +345,8 @@ def apply_epoch(
 
             from ..stages.merge import PayloadSpill, RefDeltaWriter
 
-            epoch_schema_probe = _parquet_dir_schema(edir)
             column_order = [
-                n for n in epoch_schema_probe.names if n not in ("epoch", "part")
+                n for n in epoch_schema.names if n not in ("epoch", "part")
             ]
             spill_dir = os.path.join(
                 lake_dir, "spill", f"epoch={epoch:06d}{slice_tag}"
@@ -385,6 +384,25 @@ def apply_epoch(
     # delta_{epoch}_sNNN files side by side and commit under ONE epoch
     # record — the LWW merge kernels are associative (unique lsn
     # tie-breaker), so slice boundaries cannot change the merged state.
+    # ONE whole-epoch schema probe (footer metadata), shared by every
+    # slice's ref-exchange column_order and by the commit below — a
+    # per-slice probe would re-open every footer of exactly the
+    # oversized epochs slicing targets
+    epoch_schema = _parquet_dir_schema(edir)
+    if os.environ.get("GDP_EXCHANGE") == "ref" and salt <= 1:
+        # pre-sweep ALL spill dirs of this epoch regardless of slice tag:
+        # a crashed earlier attempt may have sliced differently, and the
+        # per-pass rmtree only covers the current tags
+        import shutil as _shutil
+
+        spill_root = os.path.join(lake_dir, "spill")
+        if os.path.isdir(spill_root):
+            for name in os.listdir(spill_root):
+                if name == f"epoch={epoch:06d}" or name.startswith(
+                    f"epoch={epoch:06d}_s"
+                ):
+                    _shutil.rmtree(os.path.join(spill_root, name), ignore_errors=True)
+
     slice_bytes = slice_bytes or int(os.environ.get("GDP_SLICE_BYTES", 0)) or None
     groups: list[list[str]] = [src_files]
     if slice_bytes and src_bytes > slice_bytes and len(src_files) > 1:
@@ -406,8 +424,18 @@ def apply_epoch(
         e2, r2 = _stats_to_entries(_one_pass(paths, nbytes, tag))
         entries += e2
         errors += r2
+    if errors:
+        # skip-and-record is ALL-or-nothing per partition: a partition
+        # deadlettered in any slice is excluded from this commit entirely
+        # (other slices' files for it become orphans; vacuum reclaims) —
+        # a half-applied partition would serve wrong reads until the
+        # operator force-reapplies.  Deadletter one record per partition.
+        bad = {err["partition"] for err in errors}
+        entries = [fe for fe in entries if fe.partition not in bad]
+        errors = [
+            next(err for err in errors if err["partition"] == p) for p in sorted(bad)
+        ]
 
-    epoch_schema = _parquet_dir_schema(edir)
     if "epoch" in epoch_schema.names:
         epoch_schema = epoch_schema.remove(epoch_schema.get_field_index("epoch"))
     sec = time.perf_counter() - t0
@@ -513,7 +541,8 @@ def sweep_orphan_spill(lake_dir: str, man: Manifest | None = None) -> list[str]:
         if not name.startswith("epoch="):
             continue
         try:
-            e = int(name.split("=", 1)[1])
+            # slice-tagged spill dirs (epoch=000005_s001) parse too
+            e = int(name.split("=", 1)[1].split("_s", 1)[0])
         except ValueError:
             continue
         if e in done:
@@ -525,8 +554,12 @@ def sweep_orphan_spill(lake_dir: str, man: Manifest | None = None) -> list[str]:
 def discover_epochs(events_dir: str) -> list[int]:
     out = []
     for name in os.listdir(events_dir):
-        if name.startswith("epoch="):
+        if not name.startswith("epoch="):
+            continue
+        try:
             out.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue  # temp/crash leftovers (epoch=N.tmp-replica etc.)
     return sorted(out)
 
 

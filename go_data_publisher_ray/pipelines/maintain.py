@@ -117,6 +117,13 @@ def vacuum(lake_dir: str, *, include_orphans: bool = False) -> dict:
             if e not in done:
                 continue
             edir = os.path.join(ev_root, d)
+            # an epoch whose force-reapply is still owed (replicate()
+            # crashed between conversion and apply) needs its chunks:
+            # sweeping them would make the force-apply commit an EMPTY
+            # epoch and silently drop the republished changes
+            fp_path = os.path.join(edir, "_feed.json")
+            if os.path.exists(fp_path) and read_json(fp_path).get("force_pending"):
+                continue
             for f in sorted(os.listdir(edir)):
                 if f.endswith(".parquet"):
                     p = os.path.join(edir, f)

@@ -444,14 +444,23 @@ def replicate(
         # (maintain.vacuum) — still done.  A REPUBLISHED epoch
         # (late-data invalidation upstream) has a different fingerprint:
         # rebuild, and force-reapply if the replica already committed
-        # the stale version, otherwise it diverges forever.
-        if os.path.exists(fp_path) and read_json(fp_path)["md5"] == fp:
+        # the stale version, otherwise it diverges forever.  The force
+        # is DURABLE: "force_pending" rides the _feed.json commit and is
+        # cleared only after the force-apply succeeds, so a crash
+        # between the conversion rename and the apply cannot strand the
+        # stale delta (review r4 #1).
+        rec = read_json(fp_path) if os.path.exists(fp_path) else None
+        if rec is not None and rec["md5"] == fp:
             has_chunks = any(n.endswith(".parquet") for n in os.listdir(edir))
-            if has_chunks or man.has_epoch(e):
+            if rec.get("force_pending"):
+                if has_chunks:
+                    force_epochs.append(e)  # converted; apply still owed
+                    continue
+                # chunks gone in the crash window: fall through, rebuild
+            elif has_chunks or man.has_epoch(e):
                 continue
+        needs_force = os.path.isdir(edir) and man.has_epoch(e)
         if os.path.isdir(edir):
-            if man.has_epoch(e):
-                force_epochs.append(e)
             shutil.rmtree(edir)
 
         # validation is metadata-only: the feed epoch's unified parquet
@@ -497,12 +506,23 @@ def replicate(
             ).write_parquet(tmp)
         else:
             os.makedirs(tmp, exist_ok=True)  # empty feed epoch -> empty fence
-        atomic_write_json(os.path.join(tmp, "_feed.json"), {"md5": fp})
+        atomic_write_json(
+            os.path.join(tmp, "_feed.json"),
+            {"md5": fp, **({"force_pending": True} if needs_force else {})},
+        )
         os.rename(tmp, edir)  # conversion commit point
+        if needs_force:
+            force_epochs.append(e)
 
     refreshed = []
     for e in force_epochs:
         apply_epoch(events_dir, replica_lake, e, force=True)
+        # the force is done: clear the durable marker (idempotent; a
+        # crash before this line just force-reapplies again next run)
+        fp_path = os.path.join(events_dir, f"epoch={e}", "_feed.json")
+        rec = read_json(fp_path)
+        rec.pop("force_pending", None)
+        atomic_write_json(fp_path, rec)
         refreshed.append(e)
     results = apply_log(events_dir, replica_lake)
     applied = [r["epoch"] for r in results if not r.get("skipped")]

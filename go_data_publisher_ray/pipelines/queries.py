@@ -2316,8 +2316,13 @@ def _kmeans_model(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> dict:
     a versioned parquet in the ModelStore (keyed by source-file identity
     + hyper-parameters), so a SECOND process — or another node reading
     the shared store — serves IVF queries with zero training passes.
-    The in-process dict stays as the hot cache on top."""
-    key = (os.path.abspath(sf_dir), k, iters)
+    The in-process dict stays as the hot cache on top — keyed by the
+    SAME source identity (size+mtime) as the store meta, so a
+    regenerated source file misses the hot cache exactly when it would
+    miss the store."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(sf_dir), k, iters, st.st_size, st.st_mtime_ns)
     if key in _KM_MODELS:
         return _KM_MODELS[key]
 
@@ -2326,9 +2331,6 @@ def _kmeans_model(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> dict:
 
     from ..stages import kmeans as km
     from ..state.models import ModelStore
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     meta = {
         "source": os.path.abspath(src),
         "size": st.st_size,

@@ -191,11 +191,13 @@ def metrics_text(lake_dir: str) -> str:
     st = status(lake_dir)
     last = st["recent_epochs"][-1] if st["recent_epochs"] else {}
     lines: list[str] = []
+    declared: set[str] = set()
 
     def gauge(name: str, value, help_: str, labels: str = "") -> None:
         if value is None:
             return
-        if not any(line.startswith(f"# TYPE {name} ") for line in lines):
+        if name not in declared:
+            declared.add(name)
             lines.append(f"# HELP {name} {help_}")
             lines.append(f"# TYPE {name} gauge")
         lines.append(f"{name}{labels} {value}")

@@ -78,3 +78,27 @@ def test_slice_bound_noop_on_small_epochs(ray_session, small_log, tmp_path):
         rec = man.epoch_record(e)
         assert "slices" not in rec["metrics"]
         assert all("_s" not in os.path.basename(f["path"]) for f in rec["files"])
+
+
+def test_sliced_poisoned_partition_excluded_entirely(ray_session, tmp_path):
+    """Review r4 #2: a partition deadlettered in ANY slice is excluded
+    from the epoch commit entirely (no half-applied partition), and the
+    deadletter record appears once, not once per failed slice."""
+    from go_data_publisher_ray.pipelines.apply import apply_epoch, bootstrap
+
+    log = cached_fixture(SLICE_SPEC)
+    base, events = os.path.join(log, "base"), os.path.join(log, "events")
+    lake = str(tmp_path / "lake")
+    bootstrap(base, lake, P)
+    out = apply_epoch(
+        events, lake, 0, slice_bytes=1, fault={"poison_parts": (3,)}
+    )
+    assert out["deadletter_parts"] == [3]
+    rec = Manifest(lake).epoch_record(0)
+    assert rec["metrics"]["deadletter_parts"] == [3]
+    assert all(f["partition"] != 3 for f in rec["files"])
+    # healthy partitions committed multiple slice files
+    per_part: dict[int, int] = {}
+    for fd in rec["files"]:
+        per_part[fd["partition"]] = per_part.get(fd["partition"], 0) + 1
+    assert max(per_part.values()) > 1

@@ -512,3 +512,83 @@ def test_replicate_rejects_too_new_markerless_bootstrap(
     os.remove(os.path.join(toonew, "_export_marker"))  # hand-assembled dir
     with pytest.raises(ValueError, match="too new"):
         replicate(feed, str(tmp_path / "replica"), bootstrap_dir=toonew, num_partitions=4)
+
+
+def test_force_reapply_survives_crash_between_convert_and_apply(
+    ray_session, small_log, lake_dir, tmp_path, monkeypatch
+):
+    """Review r4 #1: the force-reapply owed for a republished feed epoch
+    is DURABLE (force_pending in _feed.json) — a crash after the
+    conversion rename but before the apply must not strand the stale
+    delta forever."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines import publish as publish_mod
+    from go_data_publisher_ray.pipelines.maintain import vacuum
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot, snapshot_table as snap
+    from go_data_publisher_ray.pipelines.tail import tail
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    staged, feed = str(tmp_path / "staged"), str(tmp_path / "feed")
+    boot, replica = str(tmp_path / "boot"), str(tmp_path / "replica")
+    shutil.copytree(events, staged)
+    bootstrap(base, lake_dir, P)
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+    export_snapshot(
+        lake_dir, boot,
+        upto_epoch=read_json(os.path.join(feed, "_cursor.json"))["bootstrap_epoch"],
+    )
+    publish_mod.replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    # late data upstream invalidates+republishes epoch 6
+    late = pa_table_late("https://late.example/crash-window-probe")
+    late = late.set_column(
+        late.schema.get_field_index("epoch"),
+        "epoch",
+        __import__("pyarrow").array([6], __import__("pyarrow").int32()),
+    )
+    pq.write_table(late, os.path.join(staged, "epoch=6", "late-chunk.parquet"))
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+
+    # crash exactly between the conversion commit and the force-apply
+    # (replicate imports apply_epoch at call time, so patch its source)
+    from go_data_publisher_ray.pipelines import apply as apply_mod
+
+    real_apply = apply_mod.apply_epoch
+
+    def _crash_on_force(*a, **kw):
+        if kw.get("force"):
+            raise RuntimeError("injected crash before force-apply")
+        return real_apply(*a, **kw)
+
+    monkeypatch.setattr(apply_mod, "apply_epoch", _crash_on_force)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        publish_mod.replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    # the owed force is durable...
+    fp = read_json(
+        os.path.join(replica, "_replica_events", "epoch=6", "_feed.json")
+    )
+    assert fp.get("force_pending") is True
+    # ...and vacuum must NOT sweep the owed epoch's chunks meanwhile
+    vacuum(replica)
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(replica, "_replica_events", "epoch=6"))
+    )
+
+    monkeypatch.setattr(apply_mod, "apply_epoch", real_apply)
+    r = publish_mod.replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    assert 6 in r["refreshed_epochs"]
+    fp2 = read_json(
+        os.path.join(replica, "_replica_events", "epoch=6", "_feed.json")
+    )
+    assert "force_pending" not in fp2
+    ok, msg = tables_equal(snapshot_table(lake_dir), snap(replica))
+    assert ok, msg
