@@ -34,17 +34,22 @@ VALUE_COLS = ("text", "lang", "html")
     delete_frac=st.sampled_from([0.0, 0.1, 0.3]),
     dup_every=st.sampled_from([0, 7]),
     tie_group=st.sampled_from([1, 8]),
+    slice_bytes=st.sampled_from([None, 1]),
 )
 def test_full_loop_matches_replay_oracle(
-    ray_session, tmp_path_factory, seed, delete_frac, dup_every, tie_group
+    ray_session, tmp_path_factory, seed, delete_frac, dup_every, tie_group, slice_bytes
 ):
+    # slice_bytes=1 applies every source file as its own sub-epoch slice
+    # (multiple delta files per epoch per partition) — the backlog bound
+    # must be invisible to the replay oracle AND to the publish ->
+    # replicate loop (diffs are as-of views over the slice files)
     spec = LogSpec(
         seed=seed,
         n_base=400,
         n_sites=10,
         n_events=1_600,
         epoch_size=400,
-        chunk_size=800,
+        chunk_size=200,
         delete_frac=delete_frac,
         dup_every=dup_every,
         tie_group=tie_group,
@@ -61,7 +66,7 @@ def test_full_loop_matches_replay_oracle(
 
     base, events = os.path.join(log, "base"), os.path.join(log, "events")
     bootstrap(base, src, 4)
-    apply_log(events, src)
+    apply_log(events, src, slice_bytes=slice_bytes)
     want = replay_oracle_table(base, events)
     ok, msg = tables_equal(snapshot_table(src), want)
     assert ok, f"source vs oracle: {msg}"
