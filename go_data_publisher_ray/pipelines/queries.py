@@ -2965,6 +2965,124 @@ def text_df_topk(sf_dir: str):
     )
 
 
+_TFIDF_DOCS = 10  # query docs (the "keyword extraction" request set)
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           WHERE doc_id < {_TFIDF_DOCS} GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n * 1000) // df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, score, rank FROM ranked WHERE rank <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_topk(sf_dir: str):
+    """TF-IDF keyword extraction for a request set of documents against
+    the full corpus — the relevance-scoring building block on top of the
+    inverted-index aggregation (`text_df_topk`).
+
+    Shape (the broadcast-candidates pattern): the request docs are a
+    predicate-pushdown point read (tiny by definition); their candidate
+    term set broadcasts via ``ray.put`` into an actor-pool DF pass over
+    the WHOLE corpus that counts document frequency ONLY for candidate
+    terms (per-batch set-intersection combiner, so the groupby sees
+    O(candidates) rows per batch, never the corpus vocabulary).  Scoring
+    and top-k run driver-side over O(request-terms) rows.  The idf is an
+    integer surrogate ``(N * 1000) // df`` so both engines produce
+    bit-identical int64 scores (float ln() would hash-diverge)."""
+    import pyarrow.parquet as pq_
+    from collections import Counter, defaultdict
+
+    sample = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _TFIDF_DOCS)],
+    )
+    tf: Counter = Counter()
+    cand: set[str] = set()
+    for did, txt in zip(
+        sample.column("doc_id").to_pylist(), sample.column("text").to_pylist()
+    ):
+        toks = textfn.whitespace_tokens(txt)
+        cand.update(toks)
+        for w in toks:
+            tf[(did, w)] += 1
+
+    import ray
+
+    cand_ref = ray.put(cand)
+
+    class PartialDF:
+        """Actor: candidate set fetched once per actor, per-batch
+        distinct-doc counts restricted to candidates (docs never span
+        batches, so partial counts sum exactly)."""
+
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df: Counter = Counter()
+            for txt in t.column("text").to_pylist():
+                df.update(frozenset(textfn.whitespace_tokens(txt)) & self.cand)
+            terms = list(df)
+            return pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "p_df": pa.array([df[x] for x in terms], pa.int64()),
+                }
+            )
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    dfrows = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(
+            PartialDF,
+            fn_constructor_args=(cand_ref,),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .groupby("term")
+        .aggregate(*_agg(df=("sum", "p_df")))
+        .take_all()
+    )
+    dfmap = {r["term"]: int(r["df"]) for r in dfrows}
+
+    per_doc: dict[int, list] = defaultdict(list)
+    for (did, w), f in tf.items():
+        per_doc[did].append((-(f * ((n_docs * 1000) // dfmap[w])), w))
+    out = {"doc_id": [], "term": [], "score": [], "rank": []}
+    for did in sorted(per_doc):
+        for rank, (negscore, w) in enumerate(sorted(per_doc[did])[:_TFIDF_K], 1):
+            out["doc_id"].append(did)
+            out["term"].append(w)
+            out["score"].append(-negscore)
+            out["rank"].append(rank)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "score": pa.array(out["score"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )
+
+
 def _changefeed_pair_sql(idx: int) -> str:
     """One epoch-transition diff (aggregating CTE body for
     cdc_changefeed_stats)."""
