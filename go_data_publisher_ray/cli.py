@@ -226,6 +226,13 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--bootstrap", required=True,
                     help="parquet export of the source snapshot as of the feed's bootstrap epoch")
     rc.add_argument("--partitions", type=int, default=8)
+    rc.add_argument(
+        "--shard",
+        default=None,
+        metavar="K/N",
+        help="consume only this key shard: N replicate drivers over the "
+        "same feed form a downstream consumer fleet",
+    )
 
     st = sub.add_parser("status", help="print progress/lineage JSON")
     st.add_argument("--lake", required=True)
@@ -442,6 +449,11 @@ def main(argv: list[str] | None = None) -> int:
                         args.lake,
                         bootstrap_dir=args.bootstrap,
                         num_partitions=args.partitions,
+                        shard=(
+                            tuple(int(x) for x in args.shard.split("/"))
+                            if args.shard
+                            else None
+                        ),
                     )
                 )
             )

@@ -291,6 +291,7 @@ def replicate(
     *,
     bootstrap_dir: str,
     num_partitions: int = 8,
+    shard: tuple[int, int] | None = None,
 ) -> dict:
     """Downstream CONSUMER of a published feed — build (or catch up) a
     replica lake by turning each feed epoch back into change events and
@@ -389,7 +390,14 @@ def replicate(
                 f"--upto-epoch {meta.get('bootstrap_epoch')}"
             )
 
-    bootstrap(bootstrap_dir, replica_lake, num_partitions, merge_spec=spec)
+    # ``shard=(k, n)``: this consumer owns only its key-space shard —
+    # n replicate() drivers (own lakes, own Ray sessions) over the SAME
+    # feed form a consumer fleet whose union equals the source, exactly
+    # like the sharded ingest side (the reference's one-consumer-per-
+    # partition deployment on the downstream end).  The bootstrap load
+    # and every apply drop non-owned rows at the exchange; the shard is
+    # persisted in the replica's lake.json like any other lake.
+    bootstrap(bootstrap_dir, replica_lake, num_partitions, merge_spec=spec, shard=shard)
     man = Manifest(replica_lake)
     spec = man.merge_spec
     if not spec.has_tombstones:

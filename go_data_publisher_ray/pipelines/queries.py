@@ -1414,6 +1414,39 @@ def sample_systematic(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+_WSAMPLE_CAP = 1000
+_WSAMPLE_THRESH = (1 << 60) // _WSAMPLE_CAP
+
+
+@query(
+    "sample_weighted_length",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < least(n_chars, {_WSAMPLE_CAP}) * {_WSAMPLE_THRESH}
+    """,
+)
+def sample_weighted_length(sf_dir: str):
+    """Deterministic WEIGHTED (importance) sampling: acceptance
+    probability proportional to document length capped at 1000 chars —
+    the training-mix reweighting primitive (longer docs kept at a
+    higher rate), reproducible across engines because the uniform draw
+    is a 60-bit md5 of the key, not an RNG.  Stable under appends and
+    re-runs (same doc -> same draw), like the hash-priority reservoir.
+    Vectorized hash + integer compare per batch; no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = md5_int64_array([str(int(x)) for x in ids])
+        w = np.minimum(
+            t.column("n_chars").to_numpy(zero_copy_only=False), _WSAMPLE_CAP
+        )
+        return t.filter(pa.array(h < w * _WSAMPLE_THRESH))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 _RESERVOIR_K = 64
 
 

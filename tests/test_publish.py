@@ -592,3 +592,40 @@ def test_force_reapply_survives_crash_between_convert_and_apply(
     assert "force_pending" not in fp2
     ok, msg = tables_equal(snapshot_table(lake_dir), snap(replica))
     assert ok, msg
+
+
+def test_sharded_replica_fleet_union_equals_source(
+    ray_session, small_log, lake_dir, tmp_path
+):
+    """Downstream consumer fleet: N replicate() drivers over the SAME
+    feed, each owning one key shard (replicate(..., shard=(k, n))),
+    together reproduce the source exactly — the consumer-side mirror of
+    the sharded ingest test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+    from go_data_publisher_ray.state.manifest import Manifest
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed, boot = str(tmp_path / "feed"), str(tmp_path / "boot")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    export_snapshot(lake_dir, boot, upto_epoch=out["bootstrap_epoch"])
+
+    parts = []
+    for k in (0, 1):
+        rl = str(tmp_path / f"replica{k}")
+        r = replicate(feed, rl, bootstrap_dir=boot, num_partitions=4, shard=(k, 2))
+        assert r["applied_epochs"]
+        assert Manifest(rl).shard == (k, 2)
+        parts.append(snapshot_table(rl))
+    union = pa.concat_tables(parts)
+    union = union.take(pc.sort_indices(union, sort_keys=[("url", "ascending")]))
+    want = snapshot_table(lake_dir)
+    ok, msg = tables_equal(union, want)
+    assert ok, msg
+    assert 0 < parts[0].num_rows < want.num_rows  # real disjoint slices
