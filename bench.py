@@ -82,6 +82,11 @@ DEFAULT_BENCH_QUERIES = [
     "join_fact_fact_revenue",
     "window_running_sum",
     "text_chunk_fixed",
+    # round 4 additions: FWW content registry, broadcast-candidate
+    # TF-IDF, hash-draw weighted sampling
+    "cdc_content_first_writer",
+    "text_tfidf_topk",
+    "sample_weighted_length",
 ]
 
 
