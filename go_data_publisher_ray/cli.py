@@ -289,7 +289,9 @@ def main(argv: list[str] | None = None) -> int:
             spec = {"intervals": INTERVALS_SPEC, "content": CONTENT_SPEC}.get(
                 args.entity
             )
-            shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
+            from .pipelines.apply import parse_shard
+
+            shard = parse_shard(args.shard) if args.shard else None
             print(
                 json.dumps(
                     bootstrap(
@@ -316,7 +318,9 @@ def main(argv: list[str] | None = None) -> int:
                 patch_rules = tuple(
                     PatchRule(**r) for r in json.loads(args.patch)
                 )
-            shard = tuple(int(x) for x in args.shard.split("/")) if args.shard else None
+            from .pipelines.apply import parse_shard
+
+            shard = parse_shard(args.shard) if args.shard else None
             if args.epoch is not None:
                 from .pipelines.apply import apply_epoch_adaptive
 
@@ -440,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
             vcols = tuple(args.value_cols.split(",")) if args.value_cols else ()
             print(json.dumps(publish_changefeed(args.lake, args.out, value_cols=vcols)))
         elif args.cmd == "replicate":
+            from .pipelines.apply import parse_shard
             from .pipelines.publish import replicate
 
             print(
@@ -449,11 +454,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.lake,
                         bootstrap_dir=args.bootstrap,
                         num_partitions=args.partitions,
-                        shard=(
-                            tuple(int(x) for x in args.shard.split("/"))
-                            if args.shard
-                            else None
-                        ),
+                        shard=parse_shard(args.shard) if args.shard else None,
                     )
                 )
             )

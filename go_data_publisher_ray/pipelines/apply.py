@@ -109,6 +109,22 @@ def _parquet_dir_schema(path: str):
     return schema_mod.unify(*schemas)
 
 
+def parse_shard(s: str) -> tuple[int, int]:
+    """Parse and validate ``k/n`` (0-indexed, 0 <= k < n).  Shared by
+    every CLI/env entry point: an unvalidated 1-indexed ``2/2`` would
+    own no partition and silently drop every row at the exchange."""
+    parts = s.split("/")
+    if len(parts) != 2:
+        raise ValueError(f"shard must be K/N, got {s!r}")
+    k, n = int(parts[0]), int(parts[1])
+    if not (0 <= k < n):
+        raise ValueError(
+            f"shard {k}/{n} is out of range: shards are 0-indexed, "
+            f"need 0 <= k < n"
+        )
+    return (k, n)
+
+
 def _shard_from_env() -> tuple[int, int] | None:
     """Optional key-space shard ``GDP_SHARD=k/n``: this driver ingests
     only partitions with ``part % n == k`` — n independent driver
@@ -118,8 +134,7 @@ def _shard_from_env() -> tuple[int, int] | None:
     s = os.environ.get("GDP_SHARD")
     if not s:
         return None
-    k, n = s.split("/")
-    return (int(k), int(n))
+    return parse_shard(s)
 
 
 def _resolve_shard(
@@ -127,17 +142,31 @@ def _resolve_shard(
 ) -> tuple[int, int] | None:
     """The lake's persisted shard (lake.json) is authoritative: callers
     may omit it (it is read back) but may not contradict it — applying
-    shard 1/2 into a lake bootstrapped as 0/2 would silently corrupt the
-    key-space ownership invariant verify relies on."""
+    shard 1/2 into a lake bootstrapped as 0/2 (or into an UNSHARDED
+    lake) would silently corrupt the key-space ownership invariant
+    verify relies on."""
     persisted = man.shard
     if shard is None:
         return persisted
-    if persisted is not None and tuple(shard) != persisted:
+    shard = tuple(shard)
+    if not (0 <= shard[0] < shard[1]):
+        raise ValueError(f"shard {shard[0]}/{shard[1]}: need 0 <= k < n")
+    if persisted is None:
+        # a fresh bootstrap persists the shard at lake creation, so by
+        # resolve time persisted == shard; None here means an EXISTING
+        # unsharded lake — filtering it by a shard would silently drop
+        # the other shards' keys from a lake that owns the full space
+        raise ValueError(
+            f"lake {man.lake_dir} is unsharded but got shard "
+            f"{shard[0]}/{shard[1]}: a shard is fixed at bootstrap "
+            "(re-bootstrap, or grow a fleet with split_shard)"
+        )
+    if shard != persisted:
         raise ValueError(
             f"lake {man.lake_dir} is shard {persisted[0]}/{persisted[1]}, "
             f"got --shard {shard[0]}/{shard[1]}"
         )
-    return tuple(shard)
+    return shard
 
 
 def bootstrap(
@@ -159,6 +188,8 @@ def bootstrap(
     spec = man.merge_spec
     shard = _resolve_shard(man, shard)
     if man.load_state().base:
+        # _resolve_shard above already refused a shard contradicting (or
+        # absent from) the existing lake.json; nothing to re-load
         return {"skipped": True}
     t0 = time.perf_counter()
     ds = rd.read_parquet(

@@ -261,6 +261,24 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
             f"entity with merge spec {spec.to_dict()} has no tombstone "
             "semantics; key erasure is undefined for it"
         )
+    # a replica with a pending force-reapply holds event chunks vacuum
+    # deliberately will NOT sweep (they are owed to the force) — erasing
+    # now would report success while the key's bytes survive in them;
+    # refuse until replicate() completes the owed apply
+    ev_root = os.path.join(lake_dir, "_replica_events")
+    if os.path.isdir(ev_root):
+        pending = [
+            d
+            for d in sorted(os.listdir(ev_root))
+            if os.path.exists(os.path.join(ev_root, d, "_feed.json"))
+            and read_json(os.path.join(ev_root, d, "_feed.json")).get("force_pending")
+        ]
+        if pending:
+            raise ValueError(
+                f"replica has pending force-reapply for {pending}: run "
+                "replicate() to completion before erasing keys (vacuum "
+                "cannot sweep chunks owed to a pending force)"
+            )
     state = man.load_state()
     epochs = state.committed_epochs
     kcol = spec.key_cols[0]

@@ -467,7 +467,12 @@ def replicate(
                 # chunks gone in the crash window: fall through, rebuild
             elif has_chunks or man.has_epoch(e):
                 continue
-        needs_force = os.path.isdir(edir) and man.has_epoch(e)
+        # owed iff the replica already committed SOME version of this
+        # epoch — NOT conditioned on the old events dir still existing:
+        # a crash after the rmtree below (or mid-conversion) must not
+        # demote the rebuild to a skip on the next run.  A spurious
+        # force is an idempotent rewrite.
+        needs_force = man.has_epoch(e)
         if os.path.isdir(edir):
             shutil.rmtree(edir)
 

@@ -629,3 +629,79 @@ def test_sharded_replica_fleet_union_equals_source(
     ok, msg = tables_equal(union, want)
     assert ok, msg
     assert 0 < parts[0].num_rows < want.num_rows  # real disjoint slices
+
+
+def test_force_survives_crash_during_rebuild_conversion(
+    ray_session, small_log, lake_dir, tmp_path
+):
+    """Review r4 (2nd pass): the owed force must also survive a crash
+    BETWEEN the old events rmtree and the conversion rename — the next
+    run recomputes needs_force from the replica manifest, not from the
+    (now missing) events dir."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot, snapshot_table as snap
+    from go_data_publisher_ray.pipelines.tail import tail
+    from go_data_publisher_ray.pipelines.verify import tables_equal
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    staged, feed = str(tmp_path / "staged"), str(tmp_path / "feed")
+    boot, replica = str(tmp_path / "boot"), str(tmp_path / "replica")
+    shutil.copytree(events, staged)
+    bootstrap(base, lake_dir, P)
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+    export_snapshot(
+        lake_dir, boot,
+        upto_epoch=read_json(os.path.join(feed, "_cursor.json"))["bootstrap_epoch"],
+    )
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    late = pa_table_late("https://late.example/rebuild-crash-probe")
+    late = late.set_column(
+        late.schema.get_field_index("epoch"),
+        "epoch",
+        __import__("pyarrow").array([7], __import__("pyarrow").int32()),
+    )
+    pq.write_table(late, os.path.join(staged, "epoch=7", "late-chunk.parquet"))
+    tail(staged, lake_dir, poll_interval=0.05, max_idle_polls=1, publish_to=feed,
+         publish_value_cols=VALUE_COLS)
+
+    # simulate: crash AFTER the rmtree of the stale events, BEFORE the
+    # new conversion committed — the events dir is simply gone
+    shutil.rmtree(os.path.join(replica, "_replica_events", "epoch=7"))
+    r = replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    assert 7 in r["refreshed_epochs"]
+    ok, msg = tables_equal(snapshot_table(lake_dir), snap(replica))
+    assert ok, msg
+
+
+def test_erase_refuses_pending_force(ray_session, small_log, lake_dir, tmp_path):
+    """Review r4 (2nd pass): erase_keys on a replica with a pending
+    force-reapply must refuse — vacuum deliberately keeps the owed
+    chunks, so 'no byte survives' would be silently false."""
+    import pytest
+
+    from go_data_publisher_ray.pipelines.maintain import erase_keys
+    from go_data_publisher_ray.pipelines.publish import replicate
+    from go_data_publisher_ray.pipelines.snapshot import export_snapshot, snapshot_table as snap
+    from go_data_publisher_ray.state.manifest import atomic_write_json
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed, boot = str(tmp_path / "feed"), str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    export_snapshot(lake_dir, boot, upto_epoch=out["bootstrap_epoch"])
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    fp_path = os.path.join(replica, "_replica_events", "epoch=5", "_feed.json")
+    rec = read_json(fp_path)
+    atomic_write_json(fp_path, {**rec, "force_pending": True})
+    victim = snap(replica).column("url")[0].as_py()
+    with pytest.raises(ValueError, match="pending force"):
+        erase_keys(replica, [victim])

@@ -102,3 +102,24 @@ def test_split_carries_admin_epochs_and_refuses_overgrow(
     split_shard(tiny, c, d)
     with pytest.raises(ValueError, match="exceed"):
         split_shard(c, str(tmp_path / "e"), str(tmp_path / "f"))
+
+
+def test_shard_validation_and_unsharded_refusal(ray_session, small_log, tmp_path):
+    """Review r4 (2nd pass): shard strings are validated (a 1-indexed
+    2/2 owns nothing and would silently drop every row), and an explicit
+    shard against an EXISTING unsharded lake is refused instead of
+    silently filtering the full key space."""
+    from go_data_publisher_ray.pipelines.apply import parse_shard
+
+    assert parse_shard("1/2") == (1, 2)
+    for bad in ("2/2", "3/2", "-1/2", "0", "0/2/4"):
+        with pytest.raises(ValueError):
+            parse_shard(bad)
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    lake = str(tmp_path / "lake")
+    bootstrap(base, lake, P)  # unsharded
+    with pytest.raises(ValueError, match="unsharded"):
+        apply_log(events, lake, shard=(0, 2))
+    with pytest.raises(ValueError, match="unsharded"):
+        bootstrap(base, lake, P, shard=(0, 2))  # skip-path must refuse too
