@@ -92,10 +92,11 @@ def replay_oracle_table(
         [schema_mod.conform(base, unified), schema_mod.conform(events, unified)]
     )
     # deliberately a different code path from the engine kernels: pandas
-    # stable sort + drop_duplicates keep-last
+    # stable sort + drop_duplicates (keep-last = max order tuple wins;
+    # keep-first for a first_wins / content-addressed entity)
     df = merged.to_pandas()
     df = df.sort_values(keys + orders, kind="stable")
-    df = df.drop_duplicates(keys, keep="last")
+    df = df.drop_duplicates(keys, keep="first" if spec.first_wins else "last")
     if spec.has_tombstones:
         df = df[df["op"] != "delete"].drop(columns=["op"])
     df = df.sort_values(keys)
@@ -333,7 +334,9 @@ def verify_partitions(
         from ..state.manifest import FileEntry
 
         part = group.column("part")[0].as_py()
-        want = keep_last_by(group.drop_columns(["part"]), key_cols, order_cols)
+        want = keep_last_by(
+            group.drop_columns(["part"]), key_cols, order_cols, mspec.first_wins
+        )
         if has_tombstones:
             want = want.filter(pc.not_equal(want.column("op"), "delete"))
         if "op" in want.schema.names:

@@ -206,3 +206,29 @@ def test_content_duplicate_delivery_and_erase(ray_session, content_log, tmp_path
                 if victim.encode() in fh.read():
                     hits.append(os.path.join(root, f))
     assert hits == []
+
+
+def test_content_verify_surfaces(ray_session, content_log, lake_dir):
+    """Review r4 (3rd pass): both verify oracles must honor first_wins —
+    the pandas replay (drop_duplicates keep-first) and the distributed
+    audit's keep_last_by direction — or a correct content lake would
+    read as mismatched."""
+    from go_data_publisher_ray.pipelines.verify import (
+        replay_oracle_table,
+        tables_equal,
+        verify_partitions,
+    )
+
+    base_dir, events_dir = content_log
+    bootstrap(base_dir, lake_dir, P, merge_spec=CONTENT_SPEC)
+    apply_log(events_dir, lake_dir)
+
+    want = replay_oracle_table(base_dir, events_dir, spec=CONTENT_SPEC)
+    ok, msg = tables_equal(
+        snapshot_table(lake_dir), want, sort_key="content_hash"
+    )
+    assert ok, msg
+
+    report = verify_partitions(lake_dir, base_dir, events_dir)
+    assert report["mismatched_partitions"] == []
+    assert report["partitions_checked"] == P
