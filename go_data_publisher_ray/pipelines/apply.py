@@ -458,8 +458,10 @@ def apply_epoch(
     if errors:
         # skip-and-record is ALL-or-nothing per partition: a partition
         # deadlettered in any slice is excluded from this commit entirely
-        # (other slices' files for it become orphans; vacuum reclaims) —
-        # a half-applied partition would serve wrong reads until the
+        # (other slices' files for it are never referenced by a manifest
+        # record — vacuum(include_orphans=True) reclaims them; plain
+        # vacuum() only sweeps superseded manifest history) — a
+        # half-applied partition would serve wrong reads until the
         # operator force-reapplies.  Deadletter one record per partition.
         bad = {err["partition"] for err in errors}
         entries = [fe for fe in entries if fe.partition not in bad]

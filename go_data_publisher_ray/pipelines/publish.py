@@ -256,9 +256,12 @@ def _make_feed_to_events(
 
 def _parquet_dir_col_max(dirpath: str, col: str):
     """Max of one column over a parquet directory from row-group
-    statistics alone (driver-side metadata read; None when the column is
-    absent or the directory holds no rows).  Falls back to reading just
-    that column of a file whose stats are missing."""
+    statistics alone (driver-side metadata read; None when no file
+    carries the column or the directory holds no rows).  Files lacking
+    the column are skipped — not a short-circuit — so the bound check is
+    order-independent and still sees the max the other files prove.
+    Falls back to reading just that column of a file whose stats are
+    missing."""
     mx = None
     for name in sorted(os.listdir(dirpath)):
         if not name.endswith(".parquet"):
@@ -267,7 +270,7 @@ def _parquet_dir_col_max(dirpath: str, col: str):
         pf = pq.ParquetFile(path)
         names = pf.schema_arrow.names
         if col not in names:
-            return None
+            continue
         idx = names.index(col)
         for rg in range(pf.metadata.num_row_groups):
             rgmeta = pf.metadata.row_group(rg)

@@ -121,47 +121,61 @@ def split_shard(src_lake: str, dst_a: str, dst_b: str, *, link: bool = True) -> 
         live_paths.update(fe.path for fe in ([b] if b else []) + ds_)
     out = {}
     for dst, ck, cn in children:
-        if os.path.exists(os.path.join(dst, "lake.json")):
+        if os.path.exists(dst):
             raise ValueError(f"destination lake {dst} already exists")
-        os.makedirs(os.path.join(dst, "manifest"), exist_ok=True)
-        os.makedirs(os.path.join(dst, "checkpoints"), exist_ok=True)
-        meta = dict(man.meta)
-        meta["shard"] = [ck, cn]
-        atomic_write_json(os.path.join(dst, "lake.json"), meta)
+        # build the whole child in a sibling staging dir and rename it
+        # into place only on success — a mid-split failure (e.g. a live
+        # file vanishing under us) leaves no half-built child whose
+        # lake.json would block the retry
+        stage = dst.rstrip(os.sep) + f".split-tmp-{os.getpid()}"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        try:
+            os.makedirs(os.path.join(stage, "manifest"))
+            os.makedirs(os.path.join(stage, "checkpoints"))
+            meta = dict(man.meta)
+            meta["shard"] = [ck, cn]
+            atomic_write_json(os.path.join(stage, "lake.json"), meta)
 
-        linked_rows = linked_bytes = nfiles = 0
-        owned_parts = set()
-        for name in sorted(os.listdir(man.manifest_dir)):
-            if not name.endswith(".json"):
-                continue
-            rec = read_json(os.path.join(man.manifest_dir, name))
-            mine = [f for f in rec.get("files", []) if f["partition"] % cn == ck]
-            rec = {**rec, "files": mine}
-            atomic_write_json(os.path.join(dst, "manifest", name), rec)
-            for fd in mine:
-                fe = FileEntry.from_dict(fd)
-                src_path = os.path.join(src_lake, fe.path)
-                dst_path = os.path.join(dst, fe.path)
-                if not os.path.exists(src_path):
-                    if fe.path in live_paths:
-                        raise FileNotFoundError(
-                            f"live data file missing from source lake: {fe.path}"
-                        )
-                    continue  # vacuumed history: unreachable either way
-                os.makedirs(os.path.dirname(dst_path), exist_ok=True)
-                if not os.path.exists(dst_path):
-                    if link:
-                        try:
-                            os.link(src_path, dst_path)
-                        except OSError:
+            linked_rows = linked_bytes = nfiles = 0
+            owned_parts = set()
+            for name in sorted(os.listdir(man.manifest_dir)):
+                if not name.endswith(".json"):
+                    continue
+                rec = read_json(os.path.join(man.manifest_dir, name))
+                mine = [
+                    f for f in rec.get("files", []) if f["partition"] % cn == ck
+                ]
+                rec = {**rec, "files": mine}
+                atomic_write_json(os.path.join(stage, "manifest", name), rec)
+                for fd in mine:
+                    fe = FileEntry.from_dict(fd)
+                    src_path = os.path.join(src_lake, fe.path)
+                    dst_path = os.path.join(stage, fe.path)
+                    if not os.path.exists(src_path):
+                        if fe.path in live_paths:
+                            raise FileNotFoundError(
+                                f"live data file missing from source lake: {fe.path}"
+                            )
+                        continue  # vacuumed history: unreachable either way
+                    os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+                    if not os.path.exists(dst_path):
+                        if link:
+                            try:
+                                os.link(src_path, dst_path)
+                            except OSError:
+                                shutil.copy2(src_path, dst_path)
+                        else:
                             shutil.copy2(src_path, dst_path)
-                    else:
-                        shutil.copy2(src_path, dst_path)
-                linked_rows += fe.rows
-                linked_bytes += fe.bytes
-                nfiles += 1
-                owned_parts.add(fe.partition)
-        Manifest(dst).refresh_checkpoints()
+                    linked_rows += fe.rows
+                    linked_bytes += fe.bytes
+                    nfiles += 1
+                    owned_parts.add(fe.partition)
+            Manifest(stage).refresh_checkpoints()
+            os.rename(stage, dst)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         out[f"{ck}/{cn}"] = {
             "lake": dst,
             "partitions": len(owned_parts),
