@@ -1512,7 +1512,7 @@ def text_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = textfn.count_word_tokens(t.column("text").to_pylist())
+        toks = textfn.count_word_tokens_arrow(t.column("text"))
         g = (
             pa.table({"lang": t.column("lang"), "tok": pa.array(toks)})
             .group_by("lang")
@@ -1549,22 +1549,22 @@ def text_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     class Scorer:
-        """Per-row str.split + set membership.  Measured FASTER (10x)
-        than a pandas-regex "vectorization" on these short documents:
-        split is a single C primitive per row, while whole-token regex
-        counting needs one lookaround scan per marker word."""
+        """One `ascii_split_whitespace` + `is_in` + two bincounts per
+        batch (functions/text.py marker_count_matrix) — measured 2.3x
+        over the per-row str.split loop it replaced, and it beats the
+        earlier pandas-regex attempt too (whole-token regex counting
+        needed one lookaround scan per marker word); numbers in
+        tools/bench_text_kernels.py / COVERAGE.md round-5."""
 
         def __init__(self):
-            self.markers = frozenset(_EN)
+            self.marker_sets = [_EN]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column("text").to_pylist()
-            n_tok = np.empty(len(texts), dtype=np.int64)
-            n_stop = np.empty(len(texts), dtype=np.int64)
-            for i, txt in enumerate(texts):
-                toks = txt.split()
-                n_tok[i] = len(toks)
-                n_stop[i] = sum(1 for w in toks if w in self.markers)
+            col = t.column("text")
+            stops, n_tok = textfn.marker_count_matrix(
+                col, self.marker_sets, return_token_counts=True
+            )
+            n_stop = stops[0]
             quality = (
                 (n_tok >= textfn.QUALITY_MIN_TOKENS)
                 & (100 * n_stop >= textfn.QUALITY_MIN_STOP_X100 * n_tok)
@@ -1609,26 +1609,23 @@ def text_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     class LangId:
-        """Per-row split + set scoring (see Scorer: measured faster
-        than whole-token regex passes on short documents); argmax with
-        fixed LANG_PRIORITY tie-break."""
+        """Vectorized marker scoring (functions/text.py
+        marker_count_matrix: one tokenize + one `is_in`/bincount per
+        language, 2.0x over the per-row split loop it replaced).  The
+        matrix rows are in LANG_PRIORITY order, so ``np.argmax`` over
+        axis 0 — which returns the FIRST row achieving the max — is
+        exactly the fixed-priority tie-break."""
 
         def __init__(self):
-            self.msets = [
-                (lang, frozenset(textfn.LANG_MARKERS[lang]))
-                for lang in textfn.LANG_PRIORITY
+            self.marker_sets = [
+                textfn.LANG_MARKERS[lang] for lang in textfn.LANG_PRIORITY
             ]
+            self.langs = np.asarray(textfn.LANG_PRIORITY, dtype=object)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            preds = []
-            for txt in t.column("text").to_pylist():
-                toks = txt.split()
-                scores = [sum(1 for w in toks if w in m) for _l, m in self.msets]
-                best = max(scores)
-                preds.append(
-                    next(l for (l, _m), s in zip(self.msets, scores) if s == best)
-                )
-            return pa.table({"lang_pred": pa.array(preds)})
+            scores = textfn.marker_count_matrix(t.column("text"), self.marker_sets)
+            preds = self.langs[np.argmax(scores, axis=0)]
+            return pa.table({"lang_pred": pa.array(preds, pa.string())})
 
     return (
         ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
@@ -2968,24 +2965,34 @@ def text_df_topk(sf_dir: str):
     batches, so per-batch distinct-doc counts SUM exactly across
     batches) → one small term groupby → sort-limit; the tokenizer is
     the engine-wide whitespace splitter (parity:
-    string_split_regex(text, '\\\\s+'))."""
-    from collections import Counter
-
+    string_split_regex(text, '\\\\s+')), vectorized: one
+    `ascii_split_whitespace` + `dictionary_encode` per batch, tf =
+    bincount over token codes, df = bincount over distinct (row, code)
+    pairs — 3.7x over the per-row Counter loop it replaced
+    (tools/bench_text_kernels.py)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df: Counter = Counter()
-        tf: Counter = Counter()
-        for txt in t.column("text").to_pylist():
-            toks = textfn.whitespace_tokens(txt)
-            tf.update(toks)
-            df.update(frozenset(toks))
-        terms = list(df.keys())
+        flat, row_ids, _n = textfn.flat_ws_tokens(t.column("text"))
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "p_df": pa.array([], pa.int64()),
+                    "p_tf": pa.array([], pa.int64()),
+                }
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        tf = np.bincount(codes, minlength=k)
+        ukey = np.unique(row_ids * k + codes)
+        df = np.bincount(ukey % k, minlength=k)
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "p_df": pa.array([df[x] for x in terms], pa.int64()),
-                "p_tf": pa.array([tf[x] for x in terms], pa.int64()),
+                "term": enc.dictionary,
+                "p_df": pa.array(df),
+                "p_tf": pa.array(tf),
             }
         )
 
@@ -3062,22 +3069,32 @@ def text_tfidf_topk(sf_dir: str):
     cand_ref = ray.put(cand)
 
     class PartialDF:
-        """Actor: candidate set fetched once per actor, per-batch
-        distinct-doc counts restricted to candidates (docs never span
-        batches, so partial counts sum exactly)."""
+        """Actor: candidate set fetched once per actor (materialized as
+        an Arrow value_set in __init__), per-batch distinct-doc counts
+        restricted to candidates (docs never span batches, so partial
+        counts sum exactly).  Vectorized: distinct (row, token) pairs
+        via dictionary-encode + integer-unique, then ONE `is_in`
+        against the candidate set over the batch's UNIQUE tokens —
+        the only Python left is the broadcast-set transport."""
 
         def __init__(self, ref):
-            self.cand = ray.get(ref)
+            self.cand_arr = pa.array(sorted(ray.get(ref)), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            df: Counter = Counter()
-            for txt in t.column("text").to_pylist():
-                df.update(frozenset(textfn.whitespace_tokens(txt)) & self.cand)
-            terms = list(df)
+            _rows, dic, codes = textfn.distinct_tokens_by_row(t.column("text"))
+            if len(codes) == 0:
+                return pa.table(
+                    {"term": pa.array([], pa.string()), "p_df": pa.array([], pa.int64())}
+                )
+            hit = pc.is_in(dic, value_set=self.cand_arr).to_numpy(
+                zero_copy_only=False
+            )
+            df = np.bincount(codes[hit[codes]], minlength=len(dic))
+            keep = df > 0
             return pa.table(
                 {
-                    "term": pa.array(terms, pa.string()),
-                    "p_df": pa.array([df[x] for x in terms], pa.int64()),
+                    "term": dic.filter(pa.array(keep)),
+                    "p_df": pa.array(df[keep]),
                 }
             )
 
@@ -3927,8 +3944,6 @@ def contamination_ngram_overlap(sf_dir: str):
     jaccard-style bucketed shingle join is the fallback plan."""
     import ray
 
-    from ..functions.text import word_ngrams
-
     def _is_bench(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % _BENCH_MOD == 0))
@@ -3941,29 +3956,32 @@ def contamination_ngram_overlap(sf_dir: str):
     bref = ray.put(frozenset(bench_shingles))
 
     class OverlapCounter:
+        """Vectorized per batch: distinct word-3-grams per doc via
+        `flat_word_ngrams` (one split + one join C kernel), ONE `is_in`
+        against the broadcast benchmark set over the batch's UNIQUE
+        grams, two bincounts — 2.0x over the per-row `word_ngrams`
+        loop it replaced (tools/bench_text_kernels.py)."""
+
         def __init__(self):
-            self.bench = ray.get(bref)
+            self.bench_arr = pa.array(sorted(ray.get(bref)), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            texts = t.column("text").to_pylist()
-            out_id: list[int] = []
-            out_n: list[int] = []
-            out_hit: list[int] = []
-            for i, txt in zip(ids, texts):
-                if i % _BENCH_MOD == 0:
-                    continue
-                sh = word_ngrams(txt, 3)
-                if not sh:
-                    continue
-                out_id.append(i)
-                out_n.append(len(sh))
-                out_hit.append(sum(1 for s in sh if s in self.bench))
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            train = ids % _BENCH_MOD != 0
+            sub = t.filter(pa.array(train))
+            sub_ids = ids[train]
+            rows, dic, codes = textfn.flat_word_ngrams(sub.column("text"), 3)
+            n_sh = np.bincount(rows, minlength=len(sub_ids))
+            hit = pc.is_in(dic, value_set=self.bench_arr).to_numpy(
+                zero_copy_only=False
+            )
+            n_hit = np.bincount(rows[hit[codes]], minlength=len(sub_ids))
+            nonempty = n_sh > 0
             return pa.table(
                 {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "n_shingles": pa.array(out_n, pa.int64()),
-                    "n_hit": pa.array(out_hit, pa.int64()),
+                    "doc_id": pa.array(sub_ids[nonempty]),
+                    "n_shingles": pa.array(n_sh[nonempty]),
+                    "n_hit": pa.array(n_hit[nonempty]),
                 }
             )
 

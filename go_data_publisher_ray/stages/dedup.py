@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import md5_int64_array
-from ..functions.text import whitespace_tokens, word_ngrams
+from ..functions.text import distinct_tokens_by_row, flat_word_ngrams
 
 # --- MinHash ----------------------------------------------------------
 # xor-family "permutations": h_i(x) = x XOR XOR_KEYS[i], minimized over
@@ -56,16 +56,23 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 def shingle_table(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> pa.Table:
     """Explode docs to distinct (doc_id, shingle) rows — the inverted-
-    index build for Jaccard/MinHash.  map_batches UDF."""
-    ids = batch.column(id_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    out_ids: list[int] = []
-    out_sh: list[str] = []
-    for i, t in zip(ids, texts):
-        sh = word_ngrams(t, n)
-        out_ids.extend([i] * len(sh))
-        out_sh.extend(sorted(sh))
-    return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "shingle": pa.array(out_sh)})
+    index build for Jaccard/MinHash.  map_batches UDF.
+
+    Vectorized (r5): one `flat_word_ngrams` Arrow pass per batch — the
+    grams are materialized ONCE as a dictionary + (row, code) pairs, so
+    this is a split + join + take, no per-row Python (2.0x over the
+    per-row `word_ngrams` loop it replaced; tools/bench_text_kernels.py)."""
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    rows, dic, codes = flat_word_ngrams(batch.column(text_col), n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_np[rows]),
+            "shingle": dic.take(pa.array(codes)),
+        }
+    )
 
 
 def pairs_from_posting(group: pa.Table, *, max_posting: int = 10_000) -> pa.Table:
@@ -116,23 +123,17 @@ def minhash_signatures(batch: pa.Table, *, text_col: str = "text", id_col: str =
     """map_batches UDF: doc -> (doc_id, band, h0, h1) rows (one per LSH
     band).  Signature = min over shingle ids of (id XOR key_p).
 
-    Vectorized at batch level: every shingle of every doc is gathered
-    once, md5 is computed only for the batch's UNIQUE shingles (hot
-    shingles repeat across docs), and per-doc minima come from one
+    Vectorized end to end (r5): shingling is ONE `flat_word_ngrams`
+    Arrow pass (split + join C kernels, distinct (row, code) pairs),
+    md5 runs only over the batch's UNIQUE shingles (the dictionary —
+    hot shingles repeat across docs), and per-doc minima come from one
     ``np.minimum.reduceat`` over the (shingles x perms) xor matrix —
-    no per-doc numpy round-trips."""
-    ids = batch.column(id_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    doc_ids: list[int] = []
-    seg_lens: list[int] = []
-    all_sh: list[str] = []
-    for i, t in zip(ids, texts):
-        sh = word_ngrams(t, n)
-        if not sh:
-            continue
-        doc_ids.append(i)
-        seg_lens.append(len(sh))
-        all_sh.extend(sh)
+    no per-row Python anywhere (tools/bench_text_kernels.py)."""
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    rows, dic, codes = flat_word_ngrams(batch.column(text_col), n)
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -141,17 +142,15 @@ def minhash_signatures(batch: pa.Table, *, text_col: str = "text", id_col: str =
             "h1": pa.array([], pa.int64()),
         }
     )
-    if not doc_ids:
+    if len(rows) == 0:
         return empty
-    uniq, inv = np.unique(np.asarray(all_sh, dtype=object), return_inverse=True)
-    sh_ids = md5_int64_array(uniq)[inv]  # (S,)
+    sh_ids = md5_int64_array(dic)[codes]  # (S,) md5 over uniques only
     keys = np.array(XOR_KEYS, dtype=np.int64)
     x = np.bitwise_xor(sh_ids[:, None], keys[None, :])  # (S, P)
-    starts = np.zeros(len(doc_ids), dtype=np.int64)
-    starts[1:] = np.cumsum(np.asarray(seg_lens, dtype=np.int64))[:-1]
+    urows, starts = np.unique(rows, return_index=True)  # rows is sorted
     sig = np.minimum.reduceat(x, starts, axis=0)  # (D, P)
-    sigb = sig.reshape(len(doc_ids), N_BANDS, BAND_ROWS)
-    d = np.asarray(doc_ids, dtype=np.int64)
+    sigb = sig.reshape(len(urows), N_BANDS, BAND_ROWS)
+    d = ids_np[urows]
     return pa.table(
         {
             "doc_id": pa.array(np.repeat(d, N_BANDS)),
@@ -166,32 +165,27 @@ def simhash_fingerprints(batch: pa.Table, *, text_col: str = "text", id_col: str
     """map_batches UDF: doc -> 60-bit SimHash over distinct whitespace
     tokens (bit b set iff sum over tokens of sign((h>>b)&1) > 0).
 
-    Batch-vectorized: md5 only for the batch's unique tokens, bit votes
-    summed per doc with one ``np.add.reduceat`` over the
-    (tokens x bits) sign matrix."""
-    ids = batch.column(id_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
+    Batch-vectorized end to end (r5): distinct tokens per row come from
+    ONE `distinct_tokens_by_row` Arrow pass (split + dictionary-encode
+    + integer-unique — 2.7x over the per-row set(split) loop it
+    replaced, tools/bench_text_kernels.py), md5 runs only for the
+    batch's unique tokens, bit votes summed per doc with one
+    ``np.add.reduceat`` over the (tokens x bits) sign matrix."""
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-    out = np.zeros(len(ids), dtype=np.int64)
-    rows: list[int] = []
-    seg_lens: list[int] = []
-    all_toks: list[str] = []
-    for row, t in enumerate(texts):
-        toks = set(whitespace_tokens(t))
-        if not toks:
-            continue
-        rows.append(row)
-        seg_lens.append(len(toks))
-        all_toks.extend(toks)
-    if rows:
-        uniq, inv = np.unique(np.asarray(all_toks, dtype=object), return_inverse=True)
-        h = md5_int64_array(uniq)[inv]  # (T,)
+    out = np.zeros(batch.num_rows, dtype=np.int64)
+    rows, dic, codes = distinct_tokens_by_row(batch.column(text_col))
+    if len(rows):
+        h = md5_int64_array(dic)[codes]  # (T,) md5 over uniques only
         signs = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1)  # (T, 60)
-        starts = np.zeros(len(rows), dtype=np.int64)
-        starts[1:] = np.cumsum(np.asarray(seg_lens, dtype=np.int64))[:-1]
+        urows, starts = np.unique(rows, return_index=True)  # rows sorted
         votes = np.add.reduceat(signs, starts, axis=0)  # (D, 60)
-        out[np.asarray(rows)] = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
-    return pa.table({"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(out)})
+        out[urows] = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "simhash": pa.array(out),
+        }
+    )
 
 
 def simhash_chunks(batch: pa.Table) -> pa.Table:
