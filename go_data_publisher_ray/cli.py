@@ -193,6 +193,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     er.add_argument("--lake", required=True)
     er.add_argument("--keys", required=True, help="comma-separated key values")
+    er.add_argument(
+        "--feed-dirs",
+        default=None,
+        help="comma-separated published feed dirs to erase the keys' "
+        "payload from too (publishes the tombstone epoch first)",
+    )
+
+    rt = sub.add_parser(
+        "retire-feed",
+        help="feed retention: drop published epochs at/below a floor and "
+        "advance the feed's bootstrap point (Kafka retention analog)",
+    )
+    rt.add_argument("--lake", required=True)
+    rt.add_argument("--feed", required=True)
+    rt.add_argument("--upto-epoch", type=int, required=True)
 
     lk = sub.add_parser("lookup", help="point lookup by primary key (no scan)")
     lk.add_argument("--lake", required=True)
@@ -404,7 +419,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "erase":
             from .pipelines.maintain import erase_keys
 
-            print(json.dumps(erase_keys(args.lake, _typed_keys(args.lake, args.keys))))
+            fds = tuple(args.feed_dirs.split(",")) if args.feed_dirs else ()
+            print(
+                json.dumps(
+                    erase_keys(
+                        args.lake, _typed_keys(args.lake, args.keys), feed_dirs=fds
+                    )
+                )
+            )
+        elif args.cmd == "retire-feed":
+            from .pipelines.publish import retire_feed_epochs
+
+            print(json.dumps(retire_feed_epochs(args.lake, args.feed, args.upto_epoch)))
         elif args.cmd == "lookup":
             from .pipelines.snapshot import lookup_keys
 

@@ -223,9 +223,17 @@ def repartition_lake(
     }
 
 
-def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
+def erase_keys(
+    lake_dir: str,
+    keys: list,
+    *,
+    vacuum_after: bool = True,
+    feed_dirs: tuple[str, ...] = (),
+) -> dict:
     """Right-to-be-forgotten erasure: physically remove every byte of
-    the given keys from the lake — current state AND history.
+    the given keys from the lake — current state AND history — and,
+    for each published changefeed in ``feed_dirs``, from the feed's
+    published history too.
 
     Composed from the engine's own primitives, in order:
 
@@ -233,13 +241,29 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
        order columns are bumped past the keys' current winners, applied
        through the normal idempotent path (so the erasure itself is
        crash-safe and replayable);
-    2. a TARGETED compaction of only the touched partitions — folding
+    2. for each feed dir: ``publish_changefeed`` (so the tombstone
+       epoch reaches downstream replicas as an ordinary delete — this
+       must happen BEFORE the compaction below folds the history the
+       diff needs) then ``publish.erase_feed_keys`` (drops the keys'
+       upsert rows from every published epoch and nulls the payload of
+       their delete tombstones — Kafka-compaction semantics; see its
+       docstring for the retention step that removes the key identifier
+       itself);
+    3. a TARGETED compaction of only the touched partitions — folding
        drops tombstones and every historical version, and raises those
        partitions' compaction horizon past all prior epochs, so
        time-travel/changefeed reads that could resurface the key are
        refused from now on;
-    3. ``vacuum`` to delete the superseded files that still hold the
+    4. ``vacuum`` to delete the superseded files that still hold the
        key's bytes.
+
+    Scope: steps 1+3+4 guarantee no byte of the key survives under the
+    LAKE root.  Published feeds are durable downstream copies and are
+    only cleaned when passed via ``feed_dirs`` (or by running
+    ``erase_feed_keys`` + ``retire_feed_epochs`` on them directly);
+    replica lakes and bootstrap exports are further copies that need
+    their own erase_keys / re-export, exactly as in the reference's
+    Kafka->ES fan-out, where each store deletes separately.
 
     The tombstone epoch claims a position in the lake's epoch sequence:
     run erasure on a caught-up lake (or renumber upstream epochs past
@@ -316,6 +340,22 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
         man.record_admin_epoch(erase_epoch)
         apply_epoch(os.path.join(lake_dir, "_erasure"), lake_dir, erase_epoch)
 
+    # feed-side erasure runs BEFORE the compaction below: publishing the
+    # tombstone epoch needs diff endpoints the fold is about to retire
+    feed_results = {}
+    if feed_dirs:
+        from .publish import _cursor_path, erase_feed_keys, publish_changefeed
+
+        for fd in feed_dirs:
+            # publish with the feed's recorded payload contract so the
+            # erasure epoch is as replicable as every other epoch
+            vcols = tuple(read_json(_cursor_path(fd)).get("value_cols", ()))
+            pub = publish_changefeed(lake_dir, fd, value_cols=vcols)
+            feed_results[fd] = {
+                "published_upto": pub["upto"],
+                **erase_feed_keys(fd, keys),
+            }
+
     comp = compact(lake_dir, parts=parts, min_deltas=1)
     # the administrative epoch dir itself holds the keys (as tombstone
     # rows) — once committed and folded it has no further use; remove it
@@ -328,6 +368,8 @@ def erase_keys(lake_dir: str, keys: list, *, vacuum_after: bool = True) -> dict:
         "epoch": erase_epoch,
         "compacted_partitions": comp["compacted_partitions"],
     }
+    if feed_dirs:
+        out["feeds"] = feed_results
     if vacuum_after:
         out["vacuum"] = vacuum(lake_dir)
     return out

@@ -67,6 +67,9 @@ def publish_changefeed(
     for name in os.listdir(out_dir):
         if name.endswith(".tmp-publish"):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    # likewise finish a feed-erase swap that crashed mid-rename (the
+    # producer owns this directory; consumers only fail loudly on it)
+    _recover_crashed_feed_erase(out_dir)
 
     # feeds are diffs between as-of views, which are only servable at
     # committed epochs >= the retention floor (compaction folds history)
@@ -115,6 +118,10 @@ def publish_changefeed(
             # export (metadata-only to compute: file entries carry lsn)
             "merge_spec": man.merge_spec.to_dict(),
             "bootstrap_max_lsn": boot_max_lsn,
+            # the feed's payload contract: later publishers (e.g. the
+            # erasure hook in maintain.erase_keys) re-read it so every
+            # epoch carries the same new_* columns
+            "value_cols": sorted(value_cols),
         }
         atomic_write_json(cpath, cursor)
 
@@ -166,6 +173,205 @@ def publish_changefeed(
         "bootstrap_epoch": cursor["bootstrap_epoch"],
         "sec": time.perf_counter() - t0,
     }
+
+
+def _recover_crashed_feed_erase(out_dir: str) -> None:
+    """Finish (or roll back) a feed-epoch rewrite that crashed mid-swap.
+
+    ``erase_feed_keys`` swaps each rewritten epoch dir in three steps:
+    build ``_erase-tmp-epoch=E`` -> rename the live dir to
+    ``_erase-old-epoch=E`` -> rename tmp into place -> rmtree old.  A
+    crash can leave old/tmp dirs behind; this preamble restores the
+    invariant that every published epoch has exactly one live dir:
+    if the live dir exists the old/tmp leftovers are garbage (swap
+    completed or never started), else the old dir IS the epoch and is
+    renamed back so a re-run redoes the rewrite from scratch."""
+    import shutil
+
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("_erase-old-epoch="):
+            e = name.split("=", 1)[1]
+            live = os.path.join(out_dir, f"epoch={e}")
+            if os.path.isdir(live):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            else:
+                os.rename(os.path.join(out_dir, name), live)
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("_erase-tmp-epoch="):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
+def erase_feed_keys(out_dir: str, keys: list) -> dict:
+    """Erase the given keys' DATA from every published feed epoch — the
+    feed-side half of right-to-be-forgotten (``maintain.erase_keys``
+    cleans the lake root; this cleans the published history, which is
+    otherwise a durable copy of every erased value.  Reference analog:
+    Kafka log compaction, `tick-intervals-consumer/elastic/client.go:97-147`
+    for the absolute ES delete).
+
+    Per feed epoch: rows of the key with ``change`` added/changed are
+    DROPPED (the historical values vanish); ``change='deleted'`` rows
+    are KEPT with every old_*/new_* payload column nulled — exactly a
+    Kafka compacted-topic tombstone (key + null value), so a lagging
+    consumer still learns the delete and converges.  The key identifier
+    itself survives only in those tombstone rows; ``retire_feed_epochs``
+    past the erasure epoch removes it too (Kafka retention), after
+    which no byte of the key exists under the feed dir.
+
+    Rewritten epochs get new content fingerprints, so existing replicas
+    force-reapply them on the next ``replicate()`` and reconverge (the
+    same machinery as late-data feed invalidation); untouched epochs
+    keep their fingerprint and skip.  Each rewrite is a distributed
+    ``map_batches`` pass committed by an atomic dir swap (crash-safe —
+    see ``_recover_crashed_feed_erase``).
+
+    Scope note (same as any log-shipping system): bootstrap snapshot
+    exports and the replica lakes themselves are separate copies — run
+    ``erase_keys`` on each replica lake (and re-export bootstraps) to
+    erase them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..schema import MergeSpec
+
+    t0 = time.perf_counter()
+    meta = read_json(_cursor_path(out_dir))
+    spec = MergeSpec.from_dict(meta["merge_spec"])
+    kcol = spec.key_cols[0]
+    keep_cols = (
+        set(spec.key_cols)
+        | {"change"}
+        | {f"{side}_{oc}" for side in ("old", "new") for oc in spec.order_cols}
+    )
+    keys_arr = pa.array(keys)
+
+    _recover_crashed_feed_erase(out_dir)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t.column(kcol), value_set=keys_arr)
+        deleted = pc.equal(t.column("change"), "deleted")
+        t = t.filter(pc.invert(pc.and_(hit, pc.invert(deleted))))
+        hit = pc.is_in(t.column(kcol), value_set=keys_arr)
+        for i, name in enumerate(t.column_names):
+            if name in keep_cols or not name.startswith(("old_", "new_")):
+                continue
+            col = t.column(i)
+            t = t.set_column(
+                i, name, pc.if_else(hit, pa.scalar(None, col.type), col)
+            )
+        return t
+
+    rewritten, skipped = [], []
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp-publish")
+    )
+    import shutil
+
+    for e in epochs:
+        edir = os.path.join(out_dir, f"epoch={e}")
+        files = sorted(
+            os.path.join(edir, n) for n in os.listdir(edir) if n.endswith(".parquet")
+        )
+        # cheap touch probe: one key-column read per file, no rewrite
+        # (and no fingerprint churn -> no replica force-reapply) for
+        # epochs that never saw the key
+        touched = any(
+            pc.any(
+                pc.is_in(pq.read_table(f, columns=[kcol]).column(kcol), value_set=keys_arr)
+            ).as_py()
+            for f in files
+        )
+        if not touched:
+            skipped.append(e)
+            continue
+        tmp = os.path.join(out_dir, f"_erase-tmp-epoch={e}")
+        old = os.path.join(out_dir, f"_erase-old-epoch={e}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        rd.read_parquet(files).map_batches(rewrite, batch_format="pyarrow").write_parquet(
+            tmp
+        )
+        os.makedirs(tmp, exist_ok=True)  # all-dropped epoch -> empty fence
+        emeta = os.path.join(edir, "_epoch_meta.json")
+        if os.path.exists(emeta):
+            shutil.copy(emeta, os.path.join(tmp, "_epoch_meta.json"))
+        os.rename(edir, old)
+        os.rename(tmp, edir)  # the swap commit point
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten.append(e)
+    return {
+        "rewritten_epochs": rewritten,
+        "untouched_epochs": skipped,
+        "sec": time.perf_counter() - t0,
+    }
+
+
+def retire_feed_epochs(lake_dir: str, out_dir: str, upto_epoch: int) -> dict:
+    """Feed retention (the Kafka ``retention.ms`` analog): remove every
+    published ``epoch<=upto_epoch`` dir and advance the feed's bootstrap
+    point to ``upto_epoch`` — new consumers bootstrap from
+    ``snapshot(upto_epoch=<floor>)`` and consume feeds after it; an
+    existing replica whose watermark is behind the floor gets a LOUD
+    resync error from ``replicate()`` instead of silently skipping the
+    retired changes.  Retiring past an erasure epoch is the second half
+    of feed-side right-to-be-forgotten: the tombstone rows
+    ``erase_feed_keys`` kept (key identifier + nulls) are deleted with
+    their epoch dirs, so no byte of the key survives under the feed.
+
+    The floor must be published and still servable by the lake (at or
+    after the lake's compaction retention floor) so the new bootstrap
+    export and its integrity watermark can be derived.  Crash-safe
+    ordering: the cursor (bootstrap point + ``retention_floor``) commits
+    FIRST, then dirs are removed — a consumer racing a retention sweep
+    either sees the old cursor with all dirs intact or the new floor
+    (and re-checks its watermark against it); it can never silently
+    skip a retired epoch."""
+    import shutil
+
+    t0 = time.perf_counter()
+    man = Manifest(lake_dir)
+    cpath = _cursor_path(out_dir)
+    cursor = read_json(cpath)
+    if upto_epoch > cursor["upto"]:
+        raise ValueError(
+            f"cannot retire epoch {upto_epoch}: feed is only published "
+            f"up to {cursor['upto']}"
+        )
+    if not man.has_epoch(upto_epoch):
+        raise ValueError(f"retention floor {upto_epoch} is not a committed epoch")
+    if upto_epoch < man.retention_floor():
+        raise ValueError(
+            f"retention floor {upto_epoch} is behind the lake's compaction "
+            f"floor {man.retention_floor()}: the new bootstrap snapshot "
+            "would not be servable"
+        )
+    if upto_epoch <= cursor.get("retention_floor", cursor["bootstrap_epoch"] - 1):
+        return {"retired": [], "floor": cursor.get("retention_floor"), "sec": 0.0}
+
+    # the new bootstrap integrity watermark, same derivation as the
+    # first publish (metadata-only: file entries carry lsn)
+    state = man.load_state()
+    boot_max_lsn = 0
+    for part in range(man.num_partitions):
+        b, ds_ = state.live_files(part, upto_epoch=upto_epoch)
+        for fe in ([b] if b else []) + ds_:
+            boot_max_lsn = max(boot_max_lsn, fe.max_lsn)
+    cursor["bootstrap_epoch"] = upto_epoch
+    cursor["bootstrap_max_lsn"] = boot_max_lsn
+    cursor["retention_floor"] = upto_epoch
+    atomic_write_json(cpath, cursor)  # THE retention commit point
+
+    retired = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("epoch=") or d.endswith(".tmp-publish"):
+            continue
+        e = int(d.split("=")[1])
+        if e <= upto_epoch:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            retired.append(e)
+    return {"retired": retired, "floor": upto_epoch, "sec": time.perf_counter() - t0}
 
 
 def invalidate_feeds_from(out_dir: str, epoch: int) -> dict:
@@ -350,6 +556,19 @@ def replicate(
     from .apply import _parquet_dir_schema, apply_epoch, apply_log, bootstrap
 
     meta = read_json(_cursor_path(feed_dir))
+    # a feed-erase that crashed mid-swap leaves an epoch with its live
+    # dir missing and the pre-rewrite dir parked as _erase-old-epoch=E;
+    # the consumer must not read around the hole (and must not mutate
+    # the producer's directory) — fail loudly until the producer re-runs
+    # erase_feed_keys, whose recovery preamble restores the invariant
+    for name in os.listdir(feed_dir):
+        if name.startswith("_erase-old-epoch="):
+            e = name.split("=", 1)[1]
+            if not os.path.isdir(os.path.join(feed_dir, f"epoch={e}")):
+                raise RuntimeError(
+                    f"feed erase crashed mid-swap for epoch {e}: re-run "
+                    "erase_feed_keys on the feed before consuming"
+                )
     spec = (
         MergeSpec.from_dict(meta["merge_spec"]) if "merge_spec" in meta else None
     )
@@ -363,9 +582,14 @@ def replicate(
     # bootstrap epoch BEFORE building anything on top of it: a snapshot
     # taken at the wrong epoch would silently diverge the replica.  The
     # export's provenance marker (written by export_snapshot) is exact;
-    # a marker-less directory (hand-assembled) is accepted as-is.
+    # a marker-less directory (hand-assembled) is accepted as-is.  Only
+    # a replica that does not exist yet consumes the export — for an
+    # existing replica the checks are skipped, because retention
+    # (retire_feed_epochs) legitimately advances the feed's bootstrap
+    # point past the export the replica was originally built from.
+    replica_exists = os.path.exists(os.path.join(replica_lake, "lake.json"))
     marker_path = os.path.join(bootstrap_dir, "_export_marker")
-    if os.path.exists(marker_path) and "bootstrap_epoch" in meta:
+    if not replica_exists and os.path.exists(marker_path) and "bootstrap_epoch" in meta:
         marker = read_json(marker_path)
         if marker.get("upto_epoch") != meta["bootstrap_epoch"]:
             raise ValueError(
@@ -383,7 +607,7 @@ def replicate(
     # required: the snapshot keeps only LWW winners, so the row carrying
     # the file-level max lsn may legitimately be absent (tombstoned, or
     # beaten by a higher-order lower-lsn late row).
-    if "bootstrap_max_lsn" in meta and spec is not None:
+    if not replica_exists and "bootstrap_max_lsn" in meta and spec is not None:
         export_lsn = _parquet_dir_col_max(bootstrap_dir, spec.lsn_col)
         if export_lsn is not None and export_lsn > meta["bootstrap_max_lsn"]:
             raise ValueError(
@@ -400,8 +624,33 @@ def replicate(
     # partition deployment on the downstream end).  The bootstrap load
     # and every apply drop non-owned rows at the exchange; the shard is
     # persisted in the replica's lake.json like any other lake.
-    bootstrap(bootstrap_dir, replica_lake, num_partitions, merge_spec=spec, shard=shard)
+    boot_res = bootstrap(
+        bootstrap_dir, replica_lake, num_partitions, merge_spec=spec, shard=shard
+    )
     man = Manifest(replica_lake)
+    if not boot_res.get("skipped") and "bootstrap_epoch" in meta:
+        # remember which feed epoch this replica's bootstrap covers: the
+        # replica's own manifest starts empty (compaction at -1), so
+        # without this stamp a not-yet-caught-up replica cannot prove
+        # it is ahead of a later retention floor
+        man.meta["feed_bootstrap_epoch"] = meta["bootstrap_epoch"]
+        atomic_write_json(os.path.join(replica_lake, "lake.json"), man.meta)
+    # retention fence: feed epochs at/below the floor were retired
+    # (retire_feed_epochs) — a replica whose watermark is behind the
+    # floor is missing changes that no longer exist as feeds and MUST
+    # re-bootstrap from a fresh snapshot; silently consuming only the
+    # surviving epochs would diverge it forever
+    if "retention_floor" in meta:
+        watermark = max(
+            man.committed_epochs() + [man.meta.get("feed_bootstrap_epoch", -1)]
+        )
+        if watermark < meta["retention_floor"]:
+            raise ValueError(
+                f"replica watermark {watermark} is behind the feed's "
+                f"retention floor {meta['retention_floor']}: the missing "
+                "epochs were retired — re-bootstrap the replica from a "
+                f"snapshot as of epoch {meta['bootstrap_epoch']}"
+            )
     spec = man.merge_spec
     if not spec.has_tombstones:
         raise ValueError("replicate requires a tombstoned entity (op column)")
