@@ -282,6 +282,7 @@ def apply_epoch(
             [],
             man.load_state().schema,
             metrics={"events": 0, "src_files": 0, "src_bytes": 0},
+            overwrite=force,
         )
         return {"epoch": epoch, "skipped": False, "events": 0, "sec": 0.0}
 
@@ -499,6 +500,7 @@ def apply_epoch(
             # recorded when the sub-epoch backlog bound sliced this epoch
             **({"slices": len(groups)} if len(groups) > 1 else {}),
         },
+        overwrite=force,
     )
     return {
         "epoch": epoch,

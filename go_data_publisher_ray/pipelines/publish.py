@@ -22,6 +22,14 @@ Contract (mirrors the apply side's effectively-once recipe):
   the compaction horizon: a lake compacted past the cursor raises, and
   the operator re-bootstraps downstream from a fresh snapshot (the
   standard retention trade — same reason `vacuum` is safe).
+
+Storage note: the per-epoch dir renames here assume a rename-capable
+substrate (shared POSIX fs).  On an object store the equivalent
+protocol is marker-based — write the epoch's objects under the final
+prefix, then commit via conditional put of a marker object
+(``_epoch_meta.json`` is already positioned to be it) — see
+``state/storage.py`` for the adapter the lake-core commit points
+already use and the documented seam.
 """
 
 from __future__ import annotations

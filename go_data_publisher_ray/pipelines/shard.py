@@ -25,6 +25,7 @@ import shutil
 import pyarrow as pa
 
 from ..functions.hashing import partition_for
+from ..state.storage import get_storage
 from ..state.manifest import FileEntry, Manifest, atomic_write_json, read_json
 
 
@@ -160,9 +161,14 @@ def split_shard(src_lake: str, dst_a: str, dst_b: str, *, link: bool = True) -> 
                         continue  # vacuumed history: unreachable either way
                     os.makedirs(os.path.dirname(dst_path), exist_ok=True)
                     if not os.path.exists(dst_path):
+                        # hardlink where the substrate has them (free),
+                        # else a full object copy — on an object store
+                        # (GDP_STORAGE=objectstore, state/storage.py)
+                        # split_shard ALWAYS runs in copy mode: one
+                        # server-side copy per shared base file
                         if link:
                             try:
-                                os.link(src_path, dst_path)
+                                get_storage().link_or_copy(src_path, dst_path)
                             except OSError:
                                 shutil.copy2(src_path, dst_path)
                         else:

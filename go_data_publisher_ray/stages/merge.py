@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import hash_and_partition, partition_for
 from ..schema import PAGES_SPEC, MergeSpec
 from ..state.manifest import FileEntry
+from ..state.storage import get_storage
 
 # LWW order: per url keep the row with max (warc_ts, lsn).
 _LWW_SORT = [("url", "ascending"), ("warc_ts", "descending"), ("lsn", "descending")]
@@ -209,17 +210,19 @@ def collapse_group(group: pa.Table, spec: MergeSpec = PAGES_SPEC) -> pa.Table:
     return collapse_table(group, spec)
 
 
-def atomic_write_parquet(table: pa.Table, path: str) -> int:
+def atomic_write_parquet(table: pa.Table, path: str, storage_name: str | None = None) -> int:
     """Deterministic-content atomic parquet write; returns file bytes.
 
     Determinism matters: re-running an epoch (duplicate delivery, task
     retry, crash replay) must produce byte-identical files so commits
-    are idempotent overwrites.
-    """
+    are idempotent overwrites.  The final promotion goes through the
+    storage adapter (POSIX rename / object-store upload completion);
+    worker-side callers pass the name their stage captured on the
+    driver (state/storage.py)."""
     tmp = f"{path}.tmp-{os.getpid()}-{np.random.randint(1 << 30)}"
     pq.write_table(table, tmp, compression="zstd", write_statistics=True)
     size = os.path.getsize(tmp)
-    os.replace(tmp, path)
+    get_storage(storage_name).finalize_file(tmp, path)
     return size
 
 
@@ -270,6 +273,7 @@ class DeltaWriter:
         # of one epoch write delta_{epoch}_sNNN.parquet side by side and
         # commit together under the one epoch record
         self.slice_tag = slice_tag
+        self.storage_name = get_storage().name  # captured on the driver
         self.__name__ = f"DeltaWriter_e{epoch}{slice_tag}"  # ray map_groups wants a __name__
 
     def _stats(self, part: int, rel: str, rows: int, size: int, max_lsn: int, error: str) -> pa.Table:
@@ -304,7 +308,7 @@ class DeltaWriter:
             )
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            size = atomic_write_parquet(out, abspath)
+            size = atomic_write_parquet(out, abspath, self.storage_name)
             max_lsn = pc.max(out.column(self.spec.lsn_col)).as_py() or 0
         except (pa.ArrowInvalid, ValueError, KeyError) as exc:
             if not self.deadletter:
@@ -314,16 +318,12 @@ class DeltaWriter:
 
     def _record_deadletter(self, part: int, exc: Exception) -> pa.Table:
         import json as _json
-        import uuid as _uuid
 
         dl_dir = os.path.join(self.lake_dir, "deadletter")
         os.makedirs(dl_dir, exist_ok=True)
         dl_path = os.path.join(dl_dir, f"epoch_{self.epoch:06d}_part_{part:05d}.json")
         rec = {"epoch": self.epoch, "partition": part, "error": str(exc)}
-        tmp = f"{dl_path}.tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            _json.dump(rec, f)
-        os.replace(tmp, dl_path)
+        get_storage(self.storage_name).put_bytes(dl_path, _json.dumps(rec).encode())
         return self._stats(part, "", 0, 0, 0, str(exc))
 
 
@@ -474,7 +474,7 @@ class RefDeltaWriter(DeltaWriter):
             )
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            size = atomic_write_parquet(out, abspath)
+            size = atomic_write_parquet(out, abspath, self.storage_name)
             max_lsn = pc.max(out.column(self.spec.lsn_col)).as_py() or 0
         except (pa.ArrowInvalid, ValueError, KeyError) as exc:
             if not self.deadletter:
@@ -492,6 +492,7 @@ class BaseWriter:
         self.lake_dir = lake_dir
         self.tag = tag
         self.spec = spec
+        self.storage_name = get_storage().name  # captured on the driver
         self.__name__ = f"BaseWriter_{tag}"  # ray map_groups wants a __name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -501,7 +502,7 @@ class BaseWriter:
         rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
         abspath = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        size = atomic_write_parquet(out, abspath)
+        size = atomic_write_parquet(out, abspath, self.storage_name)
         max_lsn = pc.max(out.column(self.spec.lsn_col)).as_py() or 0
         return pa.table(
             {

@@ -32,29 +32,25 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from dataclasses import dataclass, field
 
 import pyarrow as pa
 
 from .. import schema as schema_mod
+from .storage import get_storage
 
 
 def atomic_write_bytes(path: str, data: bytes, *, sync: bool = True) -> None:
-    """Write-temp-then-rename; safe under concurrent identical writers
-    (last rename wins with identical content — the ES ``_id`` overwrite
-    analog).  ``sync=False`` skips fsync for *derived* state that can be
-    rebuilt from the manifests (checkpoints) — the commit point itself
-    is always fsync'd, like the reference's ``pebble.Sync`` watermark
+    """Atomic whole-object write via the storage adapter (POSIX:
+    write-temp-then-rename; object store: atomic PUT) — safe under
+    concurrent identical writers (last write wins with identical
+    content — the ES ``_id`` overwrite analog).  ``sync=False`` skips
+    fsync for *derived* state that can be rebuilt from the manifests
+    (checkpoints) — the commit point itself is always fsync'd, like the
+    reference's ``pebble.Sync`` watermark
     (`transactions-producer/infrastructure/store/pebbledb/store.go:35`).
     """
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-        if sync:
-            f.flush()
-            os.fsync(f.fileno())
-    os.replace(tmp, path)
+    get_storage().put_bytes(path, data, sync=sync)
 
 
 def atomic_write_json(path: str, obj, *, sync: bool = True) -> None:
@@ -220,10 +216,18 @@ class Manifest:
         files: list[FileEntry],
         epoch_schema: pa.Schema,
         metrics: dict | None = None,
+        overwrite: bool = False,
     ) -> dict:
         """THE commit point.  Files must already be durable.  Recording
         the unified schema here is the per-epoch schema-evolution fence
-        (north_star: `pa.unify_schemas` per epoch)."""
+        (north_star: `pa.unify_schemas` per epoch).
+
+        The commit is a conditional put — first writer wins, losers
+        adopt the winner's record (concurrent appliers replay the same
+        epoch to byte-identical files, so adopting is a no-op; see
+        ``state/storage.py``).  ``overwrite=True`` is the force-reapply
+        path (late data): a deliberate single-driver REPLACEMENT of an
+        existing record, so it uses the plain last-writer-wins put."""
         state = self.load_state()
         if epoch_schema is None:
             epoch_schema = state.schema if state.schema is not None else pa.schema([])
@@ -241,7 +245,16 @@ class Manifest:
             "committed_at_lsn": max((f.max_lsn for f in files), default=0),
             "metrics": metrics or {},
         }
-        atomic_write_json(self._epoch_path(epoch), record)
+        payload = json.dumps(record, sort_keys=True, indent=1).encode()
+        if overwrite:
+            get_storage().put_bytes(self._epoch_path(epoch), payload)
+        elif not get_storage().put_bytes_if_absent(self._epoch_path(epoch), payload):
+            # a concurrent applier committed this epoch first: adopt its
+            # record (idempotent replays produce byte-identical delta
+            # files at the SAME paths, so "ours" and "theirs" coincide;
+            # any uniquely-named leftovers are orphans for vacuum) —
+            # first-writer-wins, the ES create-semantics analog
+            record = self.epoch_record(epoch)
         self.refresh_checkpoints()
         return record
 
@@ -303,7 +316,19 @@ class Manifest:
             "files": [f.to_dict() for f in files],
             "schema": schema_mod.schema_to_json(base_schema),
         }
-        atomic_write_json(os.path.join(self.manifest_dir, f"compact_{cid:06d}.json"), record)
+        payload = json.dumps(record, sort_keys=True, indent=1).encode()
+        if not get_storage().put_bytes_if_absent(
+            os.path.join(self.manifest_dir, f"compact_{cid:06d}.json"), payload
+        ):
+            # compaction ids are allocated from the same listing two
+            # racing compactors would both read — losing the conditional
+            # put means another compactor claimed this id with a
+            # DIFFERENT fold (unlike epoch replays, not byte-identical):
+            # fail loudly rather than silently overwrite its commit
+            raise RuntimeError(
+                f"concurrent compaction: compact_{cid:06d}.json already "
+                "committed by another process"
+            )
         self._compact_upto_cache = None  # horizon/floor moved
         self.refresh_checkpoints()
         return record

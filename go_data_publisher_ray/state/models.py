@@ -31,6 +31,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .storage import get_storage
 from .manifest import atomic_write_json, read_json
 
 
@@ -80,7 +81,7 @@ class ModelStore:
         ppath = os.path.join(d, f"v{v:06d}.parquet")
         tmp = f"{ppath}.tmp-{os.getpid()}"
         pq.write_table(table, tmp, compression="zstd")
-        os.replace(tmp, ppath)
+        get_storage().finalize_file(tmp, ppath)
         atomic_write_json(
             os.path.join(d, f"v{v:06d}.json"), {**meta, "version": v}
         )

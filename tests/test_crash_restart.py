@@ -14,6 +14,20 @@ from go_data_publisher_ray.pipelines.snapshot import snapshot_table
 from go_data_publisher_ray.pipelines.verify import replay_oracle_table, tables_equal
 from go_data_publisher_ray.state.manifest import Manifest
 
+
+import pytest
+
+
+@pytest.fixture(params=["posix", "objectstore"], autouse=True)
+def storage_mode(request, monkeypatch):
+    """Run this suite under BOTH storage adapters (state/storage.py):
+    the POSIX rename/link default and the rename-less object-store fake
+    (put-if-absent commits) — the crash/duplicate/concurrency semantics
+    must hold on either substrate (VERDICT r4 "What's missing" #2)."""
+    monkeypatch.setenv("GDP_STORAGE", request.param)
+    return request.param
+
+
 P = 8
 
 

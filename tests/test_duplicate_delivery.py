@@ -17,6 +17,20 @@ from go_data_publisher_ray.sources.generator import cached_fixture
 
 from conftest import SMALL_SPEC
 
+
+import pytest
+
+
+@pytest.fixture(params=["posix", "objectstore"], autouse=True)
+def storage_mode(request, monkeypatch):
+    """Run this suite under BOTH storage adapters (state/storage.py):
+    the POSIX rename/link default and the rename-less object-store fake
+    (put-if-absent commits) — the crash/duplicate/concurrency semantics
+    must hold on either substrate (VERDICT r4 "What's missing" #2)."""
+    monkeypatch.setenv("GDP_STORAGE", request.param)
+    return request.param
+
+
 P = 8
 
 DUP_SPEC = dataclasses.replace(SMALL_SPEC, dup_every=20, dup_epoch=5)
