@@ -7,7 +7,7 @@ collapsed into one driver with subcommands:
     python -m go_data_publisher_ray.cli bootstrap --base DIR --lake DIR --partitions P
     python -m go_data_publisher_ray.cli apply     --events DIR --lake DIR [--salt S] [--epoch E] [--force]
     python -m go_data_publisher_ray.cli tail      --events DIR --lake DIR [--poll 1.0] [--max-idle 3]
-    python -m go_data_publisher_ray.cli compact   --lake DIR [--min-deltas K]
+    python -m go_data_publisher_ray.cli compact   --lake DIR [--min-deltas K] [--delta-ratio R]
     python -m go_data_publisher_ray.cli snapshot  --lake DIR --out DIR [--columns a,b]
     python -m go_data_publisher_ray.cli status    --lake DIR
     python -m go_data_publisher_ray.cli verify    --lake DIR [--base DIR --events DIR]
@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold deltas into new base files")
     c.add_argument("--lake", required=True)
     c.add_argument("--min-deltas", type=int, default=1)
+    c.add_argument(
+        "--delta-ratio",
+        type=float,
+        default=None,
+        help="size-tiered trigger: fold when delta bytes >= RATIO x base "
+        "bytes (min-deltas becomes the file-count backstop)",
+    )
 
     vc = sub.add_parser("vacuum", help="delete data files the live view can't reach")
     vc.add_argument("--lake", required=True)
@@ -384,7 +391,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from .pipelines.compact import compact
 
-            print(json.dumps(compact(args.lake, min_deltas=args.min_deltas)))
+            print(
+                json.dumps(
+                    compact(
+                        args.lake,
+                        min_deltas=args.min_deltas,
+                        delta_ratio=args.delta_ratio,
+                    )
+                )
+            )
         elif args.cmd == "vacuum":
             from .pipelines.maintain import vacuum
 

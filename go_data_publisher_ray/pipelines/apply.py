@@ -607,6 +607,7 @@ def apply_log(
     batch_size: int = 65536,
     compact_every: int | None = None,
     compact_min_deltas: int = 2,
+    compact_delta_ratio: float | None = None,
     patch_rules: tuple = (),
     shard: tuple[int, int] | None = None,
     retries: int = 0,
@@ -620,6 +621,10 @@ def apply_log(
     ``compact_every=K`` folds deltas into new bases after every K
     applied epochs — the LSM maintenance policy bounding per-partition
     read amplification (live files per partition stays <= K+1).
+    ``compact_delta_ratio`` makes each sweep size-tiered (see
+    ``compact``): cold partitions with one tiny delta atop a huge base
+    skip the rewrite until the ratio or the ``compact_min_deltas``
+    count backstop trips.
     """
     man = Manifest(lake_dir)
     # validate up front even if every epoch turns out committed: a
@@ -668,7 +673,13 @@ def apply_log(
             from .compact import compact
 
             results.append(
-                {"compaction": compact(lake_dir, min_deltas=compact_min_deltas)}
+                {
+                    "compaction": compact(
+                        lake_dir,
+                        min_deltas=compact_min_deltas,
+                        delta_ratio=compact_delta_ratio,
+                    )
+                }
             )
         if stop_after is not None and applied >= stop_after:
             break

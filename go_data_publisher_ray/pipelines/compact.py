@@ -93,13 +93,25 @@ def compact(
     lake_dir: str,
     *,
     min_deltas: int = 1,
+    delta_ratio: float | None = None,
     concurrency: int = 8,
     parts: set[int] | None = None,
 ) -> dict:
-    """Compact every partition holding >= min_deltas live delta files
-    (``parts`` restricts to a partition subset — the targeted fold the
-    key-erasure path uses so one erased url doesn't rewrite the whole
-    lake).
+    """Compact every eligible partition (``parts`` restricts to a
+    partition subset — the targeted fold the key-erasure path uses so
+    one erased url doesn't rewrite the whole lake).
+
+    Eligibility is size-tiered when ``delta_ratio`` is given: a
+    partition folds when its live delta bytes reach ``delta_ratio`` x
+    its base bytes (write amplification stays bounded — one tiny delta
+    atop a huge cold base no longer pays a full base rewrite) OR when
+    the delta-file count reaches ``min_deltas`` (the read-amplification
+    backstop: every read merges all live files, so ratio alone must not
+    let tiny files pile up forever).  A baseless partition always
+    qualifies — its first fold is proportional to the deltas themselves.
+    With ``delta_ratio=None`` (default) the trigger is count-only,
+    today's behavior.  The ES segment-merge policy analog implied by
+    K3's bulk sizing (``tick-intervals-consumer/elastic/client.go``).
 
     The actor pool is capped so each actor amortizes its process
     startup over >=4 partitions — spinning one actor per partition
@@ -119,7 +131,17 @@ def compact(
         if parts is not None and part not in parts:
             continue
         base, deltas = state.live_files(part)
-        if len(deltas) < min_deltas:
+        if not deltas:
+            continue
+        if delta_ratio is not None:
+            delta_bytes = sum(d.bytes for d in deltas)
+            if (
+                len(deltas) < min_deltas
+                and base is not None
+                and delta_bytes < delta_ratio * base.bytes
+            ):
+                continue
+        elif len(deltas) < min_deltas:
             continue
         items.append(
             {

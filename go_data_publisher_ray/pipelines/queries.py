@@ -2361,19 +2361,29 @@ def _kmeans_model(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> dict:
 
     from ..stages import kmeans as km
     from ..state.models import ModelStore
-    meta = {
+
+    # Model NAME hashes only the stable identity (source path + hyper-
+    # parameters) so versions trained against a grown/regenerated source
+    # share one lineage; the volatile identity (size, mtime) lives in
+    # the per-version meta, where the drift policy can tolerate it.
+    stable = {
         "source": os.path.abspath(src),
-        "size": st.st_size,
-        "mtime_ns": st.st_mtime_ns,
         "k": k,
         "iters": iters,
         "trainer": "kmeans-exact-int-v1",
     }
+    meta = {**stable, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
     name = "kmeans_" + hashlib.md5(
-        json.dumps(meta, sort_keys=True).encode()
+        json.dumps(stable, sort_keys=True).encode()
     ).hexdigest()[:16]
     store = ModelStore()
-    hit = store.load(name, expect_meta=meta)
+    # Drift policy (GDP_MODEL_STALENESS, default 0 = exact): serve a
+    # stored model whose source SIZE is within the tolerance of today's
+    # (bytes ~ rows for fixed-width embeddings), ignoring mtime; a
+    # larger append misses and falls through to retrain-and-version.
+    tol = float(os.environ.get("GDP_MODEL_STALENESS", "0") or 0)
+    staleness = {"size": tol, "mtime_ns": None} if tol > 0 else None
+    hit = store.load(name, expect_meta=meta, staleness=staleness)
     if hit is not None:
         _KM_MODELS[key] = km.model_from_table(hit[0])
         return _KM_MODELS[key]

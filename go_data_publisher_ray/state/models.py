@@ -35,6 +35,30 @@ from .storage import get_storage
 from .manifest import atomic_write_json, read_json
 
 
+def _meta_within(stored: dict, expect: dict, staleness: dict | None) -> bool:
+    """Exact-match unless ``staleness`` grants a key drift (see
+    ``ModelStore.load``).  Key sets must always agree — a model saved
+    with different provenance fields is a different trainer."""
+    if not staleness:
+        return stored == expect
+    if stored.keys() != expect.keys():
+        return False
+    for k, want in expect.items():
+        have = stored[k]
+        if k not in staleness:
+            if have != want:
+                return False
+            continue
+        tol = staleness[k]
+        if tol is None:
+            continue
+        if not isinstance(have, (int, float)) or not isinstance(want, (int, float)):
+            return False
+        if abs(have - want) > tol * max(abs(want), 1):
+            return False
+    return True
+
+
 class ModelStore:
     def __init__(self, root: str | None = None):
         self.root = (
@@ -57,18 +81,37 @@ class ModelStore:
         return sorted(out)
 
     def load(
-        self, name: str, expect_meta: dict | None = None
+        self,
+        name: str,
+        expect_meta: dict | None = None,
+        *,
+        staleness: dict | None = None,
     ) -> tuple[pa.Table, dict] | None:
         """Newest version whose stored meta matches ``expect_meta``
-        exactly (ignoring the store-added ``version`` key); None when
-        nothing (valid) is stored."""
+        (ignoring the store-added ``version`` key); None when nothing
+        (valid) is stored.
+
+        ``staleness`` is the drift policy: without it the match is
+        exact (a regenerated source invalidates every stored version —
+        correct but retrains from scratch on any lake growth).  With it,
+        the named meta keys may drift: ``{key: None}`` ignores the key
+        entirely, ``{key: rel_tol}`` accepts a numeric stored value
+        within ``rel_tol`` RELATIVE to the expected one (so e.g.
+        ``{"rows": 0.05, "mtime_ns": None}`` serves a model trained on a
+        source within 5% of today's row count, no matter when it was
+        written).  Keys absent from ``staleness`` still match exactly.
+        Versions are scanned newest-first, so once a caller retrains and
+        saves against the grown source, the fresh version wins over any
+        stale-but-tolerated one."""
         for v in reversed(self.versions(name)):
             meta_path = os.path.join(self._dir(name), f"v{v:06d}.json")
             if not os.path.exists(meta_path):
                 continue  # crashed between parquet and meta: not committed
             meta = read_json(meta_path)
             stored = {k: x for k, x in meta.items() if k != "version"}
-            if expect_meta is not None and stored != expect_meta:
+            if expect_meta is not None and not _meta_within(
+                stored, expect_meta, staleness
+            ):
                 continue
             t = pq.read_table(os.path.join(self._dir(name), f"v{v:06d}.parquet"))
             return t, meta

@@ -69,6 +69,59 @@ def test_auto_compaction_policy(ray_session, small_log, lake_dir):
     assert ok, msg
 
 
+def test_size_tiered_trigger(ray_session, small_log, lake_dir):
+    """delta_ratio bounds write amplification: a cold partition with a
+    tiny delta atop a big base skips the rewrite until the bytes ratio
+    OR the min_deltas count backstop trips — and the merged view is
+    unchanged either way."""
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir, stop_after=6)
+    compact(lake_dir)  # big warm base per partition, zero deltas
+
+    apply_log(events, lake_dir, stop_after=1)  # one small delta each
+    man = Manifest(lake_dir)
+    state = man.load_state()
+    for p in range(P):
+        b, deltas = state.live_files(p)
+        assert b is not None and len(deltas) == 1
+        # precondition for the skip branch: the delta really is small
+        assert sum(d.bytes for d in deltas) < 2.0 * b.bytes
+
+    want = snapshot_table(lake_dir)
+
+    # ratio 2.0 not reached, count 1 < backstop 10 -> nothing rewrites
+    r = compact(lake_dir, min_deltas=10, delta_ratio=2.0)
+    assert r["compacted_partitions"] == 0
+    state = Manifest(lake_dir).load_state()
+    assert all(len(state.live_files(p)[1]) == 1 for p in range(P))
+
+    # tiny ratio -> the bytes trigger fires even though count < backstop
+    r = compact(lake_dir, min_deltas=10, delta_ratio=1e-6)
+    assert r["compacted_partitions"] == P
+    state = Manifest(lake_dir).load_state()
+    assert all(state.live_files(p)[1] == [] for p in range(P))
+    got = snapshot_table(lake_dir)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+    # count backstop: deltas pile up past min_deltas -> folds even
+    # though each is tiny relative to the (now larger) base
+    apply_log(events, lake_dir, stop_after=2)
+    r = compact(lake_dir, min_deltas=2, delta_ratio=100.0)
+    assert r["compacted_partitions"] == P
+
+    # remaining epoch on top with a size-tiered in-loop sweep (its tiny
+    # delta correctly skips the rewrite): replay equivalence end to end
+    apply_log(events, lake_dir, compact_every=1, compact_delta_ratio=0.5)
+    state = Manifest(lake_dir).load_state()
+    assert any(len(state.live_files(p)[1]) == 1 for p in range(P))
+    got = snapshot_table(lake_dir)
+    want = replay_oracle_table(base, events)
+    ok, msg = tables_equal(got, want)
+    assert ok, msg
+
+
 def test_tombstones_gone_after_compaction(ray_session, small_log, lake_dir):
     base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
     bootstrap(base, lake_dir, P)
