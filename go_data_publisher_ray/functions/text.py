@@ -17,6 +17,15 @@ import numpy as np
 # \w+ with ASCII semantics == DuckDB (RE2) '\w+' on ASCII text.
 WORD_RE = re.compile(r"\w+", re.ASCII)
 
+# ASCII whitespace is the engine's tokenization class, on all three
+# surfaces: DuckDB's string_split_regex('\s+') is RE2 (whose \s is
+# exactly [ \t\n\v\f\r]), Arrow's ascii_split_whitespace treats the
+# same six bytes, and the Python helpers below use this re.ASCII
+# pattern.  Python's bare str.split()/re.split(r"\s+") would add
+# Unicode whitespace (NBSP U+00A0, U+2028, ...) and silently disagree
+# with both engines on such input — deliberately NOT used.
+WS_RE = re.compile(r"\s+", re.ASCII)
+
 # Marker stopwords per language for the heuristic language-ID.  Scoring
 # counts *occurrences* of marker words among whitespace tokens; the
 # prediction is the first language (in LANG_PRIORITY order) achieving
@@ -35,9 +44,9 @@ QUALITY_MIN_STOP_X100 = 2  # quality needs n_stop*100 >= 2*n_tokens (>=2% stopwo
 
 
 def whitespace_tokens(text: str) -> list[str]:
-    """Split on runs of whitespace — DuckDB twin:
+    """Split on runs of ASCII whitespace (see ``WS_RE``) — DuckDB twin:
     ``string_split_regex(text, '\\s+')`` (empty strings excluded)."""
-    return [t for t in re.split(r"\s+", text) if t]
+    return [t for t in WS_RE.split(text) if t]
 
 
 def word_tokens(text: str) -> list[str]:
@@ -56,13 +65,14 @@ def stop_counts(texts, markers: tuple[str, ...]) -> np.ndarray:
     """Occurrences of marker words among whitespace tokens."""
     mset = frozenset(markers)
     out = np.empty(len(texts), dtype=np.int64)
+    split = WS_RE.split
     for i, t in enumerate(texts):
-        out[i] = sum(1 for w in t.split() if w in mset)
+        out[i] = sum(1 for w in split(t) if w in mset)
     return out
 
 
 def langid_scores(text: str) -> dict[str, int]:
-    toks = text.split()
+    toks = WS_RE.split(text)
     return {
         lang: sum(1 for w in toks if w in mset)
         for lang, mset in ((l, frozenset(m)) for l, m in LANG_MARKERS.items())

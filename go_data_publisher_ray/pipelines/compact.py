@@ -31,7 +31,14 @@ class Compactor:
     """Actor-pool stage: one partition descriptor row in -> one stats row
     out; the merged base is written from the worker, never shipped."""
 
-    def __init__(self, lake_dir: str, schema_json: str, tag: str, merge_spec_dict: dict | None = None):
+    def __init__(
+        self,
+        lake_dir: str,
+        schema_json: str,
+        tag: str,
+        merge_spec_dict: dict | None = None,
+        storage_name: str | None = None,
+    ):
         from ..schema import PAGES_SPEC, MergeSpec
 
         self.lake_dir = lake_dir
@@ -40,6 +47,11 @@ class Compactor:
         self.mspec = (
             MergeSpec.from_dict(merge_spec_dict) if merge_spec_dict else PAGES_SPEC
         )
+        # __init__ runs on the WORKER (fn_constructor_args), so the
+        # driver's storage choice must arrive as an argument — resolving
+        # GDP_STORAGE here would read the worker's env and could split
+        # one compaction commit across substrates (state/storage.py).
+        self.storage_name = storage_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -60,7 +72,7 @@ class Compactor:
             rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            size = atomic_write_parquet(merged, abspath)
+            size = atomic_write_parquet(merged, abspath, self.storage_name)
             max_lsn = (
                 (pc.max(merged.column(self.mspec.lsn_col)).as_py() or 0)
                 if merged.num_rows
@@ -118,6 +130,18 @@ def compact(
     measurably regresses (actor start ~1s each)."""
     import ray.data as rd
 
+    from ..state.storage import get_storage
+
+    if delta_ratio is not None and min_deltas < 2:
+        # at min_deltas=1 the count backstop trips on ANY delta and the
+        # ratio never gates anything — the exact write amplification the
+        # caller asked to avoid, silently.  Refuse loudly instead.
+        raise ValueError(
+            "delta_ratio needs min_deltas >= 2: at min_deltas=1 the "
+            "file-count backstop folds every partition with any delta "
+            "and the bytes-ratio trigger is inert"
+        )
+
     t0 = time.perf_counter()
     man = Manifest(lake_dir)
     state = man.load_state()
@@ -167,6 +191,7 @@ def compact(
                 schema_mod.schema_to_json(schema),
                 f"c{cid:06d}",
                 man.merge_spec.to_dict(),
+                get_storage().name,  # driver's choice, carried to workers
             ),
             batch_format="pyarrow",
             batch_size=1,

@@ -344,12 +344,22 @@ def erase_keys(
     # tombstone epoch needs diff endpoints the fold is about to retire
     feed_results = {}
     if feed_dirs:
-        from .publish import _cursor_path, erase_feed_keys, publish_changefeed
+        from .publish import erase_feed_keys, feed_value_cols, publish_changefeed
 
         for fd in feed_dirs:
             # publish with the feed's recorded payload contract so the
-            # erasure epoch is as replicable as every other epoch
-            vcols = tuple(read_json(_cursor_path(fd)).get("value_cols", ()))
+            # erasure epoch is as replicable as every other epoch; a
+            # legacy feed with no recorded contract gets the lake's full
+            # payload universe — the safe superset (an epoch published
+            # with FEWER new_* than its payload_cols_asof wedges
+            # replication permanently)
+            vcols = feed_value_cols(fd)
+            if vcols is None:
+                sch = man.load_state().schema
+                ko = set(man.merge_spec.key_cols) | set(man.merge_spec.order_cols)
+                vcols = tuple(
+                    n for n in (sch.names if sch is not None else []) if n not in ko and n != "op"
+                )
             pub = publish_changefeed(lake_dir, fd, value_cols=vcols)
             feed_results[fd] = {
                 "published_upto": pub["upto"],

@@ -107,6 +107,10 @@ def publish_changefeed(
                 "before compacting), or start a fresh feed dir and have "
                 "the downstream re-bootstrap from a current snapshot."
             )
+        # refresh the recorded payload contract to THIS publisher's: the
+        # erasure hook replays the contract of the latest publishes, and
+        # a legacy cursor (predating the field) gets it backfilled
+        cursor["value_cols"] = sorted(value_cols)
     else:
         # first publish: downstream bootstraps from snapshot(as of the
         # earliest SERVABLE committed epoch) — on a freshly compacted
@@ -183,6 +187,41 @@ def publish_changefeed(
     }
 
 
+def feed_value_cols(out_dir: str) -> tuple[str, ...] | None:
+    """The feed's payload contract for re-publishers (the erasure hook):
+    the cursor's recorded ``value_cols``, falling back for legacy
+    cursors (predating the field) to the newest published epoch's
+    ``_epoch_meta.json`` record.  None when unknowable — the caller
+    should substitute the lake's full payload universe, the safe
+    superset (publishing an erasure epoch with FEWER new_* columns than
+    ``payload_cols_asof`` wedges replication permanently: the defective
+    dir is already renamed into place and re-publish skips existing
+    dirs)."""
+    cursor = read_json(_cursor_path(out_dir))
+    if "value_cols" in cursor:
+        return tuple(cursor["value_cols"])
+    epochs = sorted(
+        (int(d.split("=", 1)[1]), d)
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp-publish")
+    )
+    for _e, d in reversed(epochs):
+        mp = os.path.join(out_dir, d, "_epoch_meta.json")
+        if os.path.exists(mp):
+            return tuple(read_json(mp).get("published_value_cols", ()))
+    return None
+
+
+def _feed_retention_floor(out_dir: str) -> int:
+    """The feed's committed retention floor (epochs at/below it are
+    retired); -2**63 when no cursor or floor exists yet."""
+    cpath = _cursor_path(out_dir)
+    if not os.path.exists(cpath):
+        return -(2**63)
+    cursor = read_json(cpath)
+    return cursor.get("retention_floor", -(2**63))
+
+
 def _recover_crashed_feed_erase(out_dir: str) -> None:
     """Finish (or roll back) a feed-epoch rewrite that crashed mid-swap.
 
@@ -193,20 +232,49 @@ def _recover_crashed_feed_erase(out_dir: str) -> None:
     invariant that every published epoch has exactly one live dir:
     if the live dir exists the old/tmp leftovers are garbage (swap
     completed or never started), else the old dir IS the epoch and is
-    renamed back so a re-run redoes the rewrite from scratch."""
+    renamed back so a re-run redoes the rewrite from scratch — UNLESS
+    the epoch is at/below the retention floor: resurrecting a retired
+    epoch from its parked pre-erase copy would re-materialize the very
+    bytes retention destroyed, so those leftovers are deleted."""
     import shutil
 
+    floor = _feed_retention_floor(out_dir)
     for name in sorted(os.listdir(out_dir)):
         if name.startswith("_erase-old-epoch="):
             e = name.split("=", 1)[1]
             live = os.path.join(out_dir, f"epoch={e}")
-            if os.path.isdir(live):
+            if os.path.isdir(live) or int(e) <= floor:
                 shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             else:
                 os.rename(os.path.join(out_dir, name), live)
     for name in sorted(os.listdir(out_dir)):
         if name.startswith("_erase-tmp-epoch="):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
+def _sweep_retired_epochs(out_dir: str, floor: int) -> list[int]:
+    """Remove every feed dir belonging to an epoch at/below ``floor`` —
+    live ``epoch=E`` dirs AND crashed-erase leftovers
+    (``_erase-old-epoch=E`` parked pre-erase copies,
+    ``_erase-tmp-epoch=E`` build dirs), which hold the same bytes.
+    Idempotent; runs on EVERY retire call (including the already-at-
+    floor early return) so a crash between the cursor commit and the
+    sweep cannot strand retired bytes forever."""
+    import shutil
+
+    retired = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.endswith(".tmp-publish"):
+            continue
+        if d.startswith("epoch="):
+            e = int(d.split("=", 1)[1])
+            if e <= floor:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+                retired.append(e)
+        elif d.startswith(("_erase-old-epoch=", "_erase-tmp-epoch=")):
+            if int(d.split("=", 1)[1]) <= floor:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return retired
 
 
 def erase_feed_keys(out_dir: str, keys: list) -> dict:
@@ -336,8 +404,6 @@ def retire_feed_epochs(lake_dir: str, out_dir: str, upto_epoch: int) -> dict:
     either sees the old cursor with all dirs intact or the new floor
     (and re-checks its watermark against it); it can never silently
     skip a retired epoch."""
-    import shutil
-
     t0 = time.perf_counter()
     man = Manifest(lake_dir)
     cpath = _cursor_path(out_dir)
@@ -356,7 +422,15 @@ def retire_feed_epochs(lake_dir: str, out_dir: str, upto_epoch: int) -> dict:
             "would not be servable"
         )
     if upto_epoch <= cursor.get("retention_floor", cursor["bootstrap_epoch"] - 1):
-        return {"retired": [], "floor": cursor.get("retention_floor"), "sec": 0.0}
+        # already at/above this floor — but a prior run may have crashed
+        # between its cursor commit and its sweep, so re-sweep (idempotent)
+        # instead of returning with retired bytes still on disk
+        swept = _sweep_retired_epochs(out_dir, cursor.get("retention_floor", -(2**63)))
+        return {
+            "retired": swept,
+            "floor": cursor.get("retention_floor"),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
 
     # the new bootstrap integrity watermark, same derivation as the
     # first publish (metadata-only: file entries carry lsn)
@@ -371,14 +445,7 @@ def retire_feed_epochs(lake_dir: str, out_dir: str, upto_epoch: int) -> dict:
     cursor["retention_floor"] = upto_epoch
     atomic_write_json(cpath, cursor)  # THE retention commit point
 
-    retired = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("epoch=") or d.endswith(".tmp-publish"):
-            continue
-        e = int(d.split("=")[1])
-        if e <= upto_epoch:
-            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
-            retired.append(e)
+    retired = _sweep_retired_epochs(out_dir, upto_epoch)
     return {"retired": retired, "floor": upto_epoch, "sec": time.perf_counter() - t0}
 
 
@@ -653,11 +720,20 @@ def replicate(
             man.committed_epochs() + [man.meta.get("feed_bootstrap_epoch", -1)]
         )
         if watermark < meta["retention_floor"]:
+            # NOTE: a replica created before feed_bootstrap_epoch
+            # stamping existed that has applied no feed epochs yet
+            # lands here with watermark -1 even if its bootstrap in
+            # fact covered the floor — we cannot prove that, so the
+            # safe answer is still resync (or stamp lake.json's
+            # feed_bootstrap_epoch by hand if the coverage is known).
             raise ValueError(
                 f"replica watermark {watermark} is behind the feed's "
                 f"retention floor {meta['retention_floor']}: the missing "
                 "epochs were retired — re-bootstrap the replica from a "
-                f"snapshot as of epoch {meta['bootstrap_epoch']}"
+                f"snapshot as of epoch {meta['bootstrap_epoch']} (a "
+                "legacy replica whose lake.json lacks feed_bootstrap_epoch "
+                "can instead be stamped manually if its bootstrap "
+                "provably covered the floor)"
             )
     spec = man.merge_spec
     if not spec.has_tombstones:

@@ -128,9 +128,20 @@ def split_shard(src_lake: str, dst_a: str, dst_b: str, *, link: bool = True) -> 
         # into place only on success — a mid-split failure (e.g. a live
         # file vanishing under us) leaves no half-built child whose
         # lake.json would block the retry
-        stage = dst.rstrip(os.sep) + f".split-tmp-{os.getpid()}"
-        if os.path.exists(stage):
-            shutil.rmtree(stage)
+        base = dst.rstrip(os.sep)
+        # sweep ANY prior attempt's staging dir, not just this pid's: a
+        # hard-killed split (SIGKILL/power loss — the except below never
+        # ran) leaves a full hardlink/copy of the child behind that
+        # nothing else reclaims (not vacuum, not erase_keys).  Concurrent
+        # splits of one destination are unsupported (their os.rename
+        # commits would race anyway), so a foreign-pid stage is dead.
+        parent = os.path.dirname(base) or "."
+        if os.path.isdir(parent):
+            prefix = os.path.basename(base) + ".split-tmp-"
+            for name in os.listdir(parent):
+                if name.startswith(prefix):
+                    shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        stage = base + f".split-tmp-{os.getpid()}"
         try:
             os.makedirs(os.path.join(stage, "manifest"))
             os.makedirs(os.path.join(stage, "checkpoints"))

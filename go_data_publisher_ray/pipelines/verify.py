@@ -231,12 +231,44 @@ def _dir_parquet_files(path: str) -> list[str]:
     return out
 
 
+def payload_md5_column(t: pa.Table, payload_cols: list[str]) -> pa.Array:
+    """Row-wise md5 digest over the payload columns (null-safe,
+    type-tagged canonical serialization).  Shared by BOTH sides of the
+    hash-mode verify, so the source replay and the lake state hash
+    identically iff their payload values are identical.  The md5 itself
+    is C (hashlib) and dominates; the per-row loop is bounded per batch
+    — no vectorized md5 exists in numpy/pyarrow (same measured-accepted
+    justification as the dedup family's fingerprint kernels)."""
+    import hashlib
+
+    n = t.num_rows
+    if n == 0 or not payload_cols:
+        return pa.array([""] * n, pa.string())
+    cols = [t.column(c).to_pylist() for c in payload_cols]
+    out = []
+    for i in range(n):
+        h = hashlib.md5()
+        for col in cols:
+            v = col[i]
+            if v is None:
+                h.update(b"\x00N")
+            elif isinstance(v, bytes):
+                h.update(b"\x00B")
+                h.update(v)
+            else:
+                h.update(b"\x00S")
+                h.update(str(v).encode())
+        out.append(h.hexdigest())
+    return pa.array(out, pa.string())
+
+
 def verify_partitions(
     lake_dir: str,
     base_dir: str,
     events_dir: str,
     *,
     record_deadletter: bool = True,
+    payload_mode: str = "hash",
 ) -> dict:
     """Distributed source-vs-sink replay verification — the
     status-service Synchronize loop (`status-service/sync/tick_processor.go:203-334`)
@@ -244,10 +276,22 @@ def verify_partitions(
     + committed-epoch events) is read ONCE as a streaming Dataset,
     hash-partitioned with the SAME url-hash exchange as apply, and each
     partition group independently replays its slice and compares it to
-    the lake's merged partition state (full column equality).
-    Mismatching partitions are recorded to ``deadletter/``
-    (skip-and-record, the A5 analog, `status-service/db/store.go:79-111`)
-    instead of failing the job.
+    the lake's merged partition state.  Mismatching partitions are
+    recorded to ``deadletter/`` (skip-and-record, the A5 analog,
+    `status-service/db/store.go:79-111`) instead of failing the job.
+
+    ``payload_mode="hash"`` (default) replaces the payload columns with
+    a per-row md5 BEFORE the exchange, so the all-to-all carries only
+    keys + order columns + a 32-byte digest — the same light-row
+    discipline as apply's payload-reference exchange.  This is what
+    makes verify scale-correct: with ``"full"`` the groupby shuffles
+    every payload byte, which cannot complete when a single epoch
+    exceeds the node's object store (measured: the sort stalls at
+    8 GiB epoch vs 6 GiB store — tools/bench_backlog.py).  Detection
+    power is unchanged: any payload difference flips the digest, key /
+    order / tombstone differences change the light rows themselves.
+    ``payload_mode="full"`` keeps literal full-column equality for
+    debugging at small scale.
 
     (Round-1 shape re-read the whole source once per partition —
     O(P x source) read amplification, VERDICT r1 "What's wrong" #4;
@@ -310,10 +354,18 @@ def verify_partitions(
     if "epoch" in unified.names:
         unified = unified.remove(unified.get_field_index("epoch"))
     src_schema_json = schema_mod.schema_to_json(unified)
+    payload_cols = [
+        n
+        for n in unified.names
+        if n not in key_cols and n not in order_cols and n != "op"
+    ]
+    light_cols = key_cols + order_cols + (["op"] if has_tombstones else [])
 
     def normalize(batch: pa.Table) -> pa.Table:
         """Source batch -> unified schema + op + part (the SAME
-        key-hash partitioning as apply, per the entity's MergeSpec)."""
+        key-hash partitioning as apply, per the entity's MergeSpec).
+        In hash mode the payload columns collapse to one md5 column
+        BEFORE the exchange."""
         sch = schema_mod.schema_from_json(src_schema_json)
         if "epoch" in batch.schema.names:
             batch = batch.filter(pc.less_equal(batch.column("epoch"), upto))
@@ -323,6 +375,9 @@ def verify_partitions(
                 "op", pa.nulls(batch.num_rows, pa.string()).fill_null("insert")
             )
         batch = schema_mod.conform(batch, sch)
+        if payload_mode == "hash":
+            md5 = payload_md5_column(batch, payload_cols)
+            batch = batch.select(light_cols).append_column("payload_md5", md5)
         part = partition_for(batch.column(part_col), num_partitions)
         batch = batch.append_column("part", pa.array(part, type=pa.int32()))
         if shard is not None:
@@ -358,6 +413,22 @@ def verify_partitions(
             from ..stages.merge import strip_internal
 
             got = strip_internal(got)
+        if payload_mode == "hash" and got.schema.names:
+            # hash the lake side through the SAME canonical serializer
+            # over the SAME unified schema as the source normalize, so
+            # equal payload values hash equal regardless of which files
+            # they came from
+            src_sch = schema_mod.schema_from_json(src_schema_json)
+            no_op = (
+                src_sch.remove(src_sch.get_field_index("op"))
+                if "op" in src_sch.names
+                else src_sch
+            )
+            got = schema_mod.conform(got, no_op)
+            md5 = payload_md5_column(got, payload_cols)
+            got = got.select(key_cols + order_cols).append_column(
+                "payload_md5", md5
+            )
         sort_keys = [(k, "ascending") for k in key_cols]
         got = got.take(pc.sort_indices(got, sort_keys=sort_keys)) if got.num_rows else got
         want = want.take(pc.sort_indices(want, sort_keys=sort_keys))

@@ -69,6 +69,16 @@ def test_auto_compaction_policy(ray_session, small_log, lake_dir):
     assert ok, msg
 
 
+def test_delta_ratio_requires_count_backstop(tmp_path):
+    """delta_ratio with min_deltas=1 is inert (the count backstop folds
+    every partition with any delta, the exact write amplification the
+    caller asked to avoid) — refused loudly, before touching the lake."""
+    import pytest
+
+    with pytest.raises(ValueError, match="min_deltas >= 2"):
+        compact(str(tmp_path / "nolake"), delta_ratio=2.0)
+
+
 def test_size_tiered_trigger(ray_session, small_log, lake_dir):
     """delta_ratio bounds write amplification: a cold partition with a
     tiny delta atop a big base skips the rewrite until the bytes ratio

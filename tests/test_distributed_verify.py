@@ -17,11 +17,22 @@ from go_data_publisher_ray.state.manifest import Manifest
 P = 8
 
 
-def test_verify_clean_lake(ray_session, small_log, lake_dir):
+import pytest
+
+
+@pytest.mark.parametrize("payload_mode", ["hash", "full"])
+def test_verify_clean_lake(ray_session, small_log, lake_dir, payload_mode):
+    """Both modes verify a clean lake: "hash" (default) exchanges only
+    keys + orders + a per-row payload md5 (scale-correct — the shuffle
+    stays light no matter how the epoch compares to the object store);
+    "full" keeps literal full-column equality for small-scale debugging."""
     bootstrap(os.path.join(small_log, "base"), lake_dir, P)
     apply_log(os.path.join(small_log, "events"), lake_dir)
     report = verify_partitions(
-        lake_dir, os.path.join(small_log, "base"), os.path.join(small_log, "events")
+        lake_dir,
+        os.path.join(small_log, "base"),
+        os.path.join(small_log, "events"),
+        payload_mode=payload_mode,
     )
     assert report["partitions_checked"] == P
     assert report["mismatched_partitions"] == []

@@ -170,6 +170,75 @@ def test_retention_fences_stale_replica(ray_session, small_log, lake_dir, tmp_pa
         retire_feed_epochs(lake_dir, feed, 99)
 
 
+def test_retention_sweep_is_rerunnable(ray_session, small_log, lake_dir, tmp_path):
+    """Crash window between the retention cursor commit and the dir
+    sweep (r5 review finding): a re-run at the same floor must finish
+    the sweep instead of early-returning with retired bytes on disk —
+    and a parked ``_erase-old-epoch`` dir below the floor is deleted,
+    never resurrected by the publish-path crash recovery."""
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+
+    ret = retire_feed_epochs(lake_dir, feed, 5)
+    assert ret["floor"] == 5
+
+    # simulate the crash: re-materialize a retired live dir and park a
+    # crashed-erase leftover, both at/below the committed floor
+    os.makedirs(os.path.join(feed, "epoch=3"))
+    os.makedirs(os.path.join(feed, "_erase-old-epoch=4"))
+
+    again = retire_feed_epochs(lake_dir, feed, 5)  # same floor: re-run
+    assert 3 in again["retired"]
+    assert not os.path.exists(os.path.join(feed, "epoch=3"))
+    assert not os.path.exists(os.path.join(feed, "_erase-old-epoch=4"))
+
+    # the publish path's recovery must DELETE a below-floor parked dir,
+    # not rename it back into a live epoch the retention already retired
+    os.makedirs(os.path.join(feed, "_erase-old-epoch=4"))
+    publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    assert not os.path.exists(os.path.join(feed, "epoch=4"))
+    assert not os.path.exists(os.path.join(feed, "_erase-old-epoch=4"))
+
+
+def test_erase_hook_survives_legacy_cursor(ray_session, small_log, lake_dir, tmp_path):
+    """A feed cursor predating the ``value_cols`` field (r5 review
+    finding): the erasure hook must recover the payload contract from
+    the newest epoch meta — publishing the erasure epoch with () would
+    wedge replication permanently (the defective dir is renamed into
+    place and re-publish skips existing dirs)."""
+    from go_data_publisher_ray.state.manifest import atomic_write_json
+
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    feed = str(tmp_path / "feed")
+    boot = str(tmp_path / "boot")
+    replica = str(tmp_path / "replica")
+    bootstrap(base, lake_dir, P)
+    apply_log(events, lake_dir)
+    out = publish_changefeed(lake_dir, feed, value_cols=VALUE_COLS)
+    export_snapshot(lake_dir, boot, upto_epoch=out["bootstrap_epoch"])
+    replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+
+    cpath = os.path.join(feed, "_cursor.json")
+    cur = read_json(cpath)
+    del cur["value_cols"]  # legacy cursor
+    atomic_write_json(cpath, cur)
+
+    url = snapshot_table(lake_dir).column("url")[0].as_py()
+    res = erase_keys(lake_dir, [url], feed_dirs=(feed,))
+    assert res["feeds"][feed]["rewritten_epochs"]
+
+    # the erasure epoch replicates (no wedge) and the replica converges
+    r2 = replicate(feed, replica, bootstrap_dir=boot, num_partitions=4)
+    assert res["epoch"] in r2["applied_epochs"]
+    ok, msg = tables_equal(snapshot_table(lake_dir), snapshot_table(replica))
+    assert ok, msg
+    # and the hook's publish backfilled the recovered contract
+    assert read_json(cpath)["value_cols"] == sorted(VALUE_COLS)
+
+
 def test_feed_erase_crash_recovery(ray_session, small_log, lake_dir, tmp_path):
     """A crash between the two swap renames leaves the epoch parked as
     _erase-old-epoch=E: consumers fail loudly, the producer's next

@@ -79,6 +79,30 @@ def test_split_unsharded_lake(ray_session, small_log, tmp_path):
     assert ok, msg
 
 
+def test_split_sweeps_crashed_staging_dirs(ray_session, small_log, tmp_path):
+    """A hard-killed prior split (SIGKILL: the except-cleanup never ran)
+    leaves a pid-suffixed staging dir holding a full hardlink/copy of
+    the child; the retry — a NEW pid — must sweep it, or erased-key
+    bytes and disk stay leaked forever (r5 review finding)."""
+    base, events = os.path.join(small_log, "base"), os.path.join(small_log, "events")
+    full = str(tmp_path / "full")
+    bootstrap(base, full, P)
+    apply_log(events, full, stop_after=2)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # fake the crash leftover under a foreign pid
+    stale = a + ".split-tmp-99999"
+    os.makedirs(os.path.join(stale, "manifest"))
+    with open(os.path.join(stale, "lake.json"), "w") as f:
+        f.write("{}")
+    out = split_shard(full, a, b)
+    assert set(out["children"]) == {"0/2", "1/2"}
+    assert not os.path.exists(stale)
+    leftovers = [n for n in os.listdir(tmp_path) if ".split-tmp-" in n]
+    assert leftovers == []
+    ok, msg = tables_equal(_sorted_union([a, b]), snapshot_table(full))
+    assert ok, msg
+
+
 def test_split_carries_admin_epochs_and_refuses_overgrow(
     ray_session, small_log, tmp_path
 ):
