@@ -87,6 +87,12 @@ DEFAULT_BENCH_QUERIES = [
     "cdc_content_first_writer",
     "text_tfidf_topk",
     "sample_weighted_length",
+    # round 5 additions: Gopher quality rules, 2-gram repetition,
+    # normalized exact dedup, deterministic hash split
+    "text_gopher_quality",
+    "text_repetition_2gram",
+    "dedup_exact_normalized",
+    "sample_hash_split",
 ]
 
 

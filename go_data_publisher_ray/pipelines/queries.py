@@ -1447,6 +1447,63 @@ def sample_weighted_length(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# train/val/test boundaries on md5(doc_id) mod 100: [0,90) / [90,95) / [95,100)
+_SPLIT_TRAIN_LT = 90
+_SPLIT_VAL_LT = 95
+
+
+@query(
+    "sample_hash_split",
+    f"""
+    SELECT CASE WHEN b < {_SPLIT_TRAIN_LT} THEN 'train'
+                WHEN b < {_SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                   AS b
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def sample_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by key hash — the standard
+    reproducible dataset-split primitive: a document's split never
+    changes under appends, re-runs, or re-partitioning because the
+    draw is md5(doc_id), not an RNG.  Per-batch partial aggregation
+    (each batch emits <=3 rows) so the groupby exchange carries O(3 x
+    blocks) rows regardless of corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    labels = np.asarray(["train", "val", "test"], dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = md5_int64_array([str(int(x)) for x in ids]) % 100
+        lab = labels[
+            np.where(b < _SPLIT_TRAIN_LT, 0, np.where(b < _SPLIT_VAL_LT, 1, 2))
+        ]
+        return (
+            pa.table(
+                {"split": pa.array(lab, pa.string()), "doc_id": t.column("doc_id")}
+            )
+            .group_by("split")
+            .aggregate([("doc_id", "count"), ("doc_id", "min"), ("doc_id", "max")])
+            .rename_columns(["split", "p_cnt", "p_min", "p_max"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            *_agg(
+                n_docs=("sum", "p_cnt"),
+                min_id=("min", "p_min"),
+                max_id=("max", "p_max"),
+            )
+        )
+    )
+
+
 _RESERVOIR_K = 64
 
 
@@ -1650,6 +1707,133 @@ def text_fingerprint(sf_dir: str):
     )
 
 
+# Gopher-style document-quality rules (Rae et al. 2021, table A1 —
+# public paper): word-count bounds, mean-word-length band, minimum
+# alphabetic-word fraction.  All-integer outputs (mean scaled x100,
+# floor division on both engines) so the value hash matches exactly.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEANLEN_X100 = 300
+_GOPHER_MAX_MEANLEN_X100 = 1000
+_GOPHER_MIN_ALPHA_PCT = 80
+
+
+@query(
+    "text_gopher_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             coalesce(list_aggregate(list_transform(toks, x -> len(x)), 'sum'), 0)
+               ::BIGINT AS sum_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha
+      FROM (SELECT doc_id, {_WS_TOKENS_SQL} AS toks FROM documents)),
+    m AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN (100 * sum_len) // n_words ELSE 0 END
+               AS mean_len_x100,
+             n_alpha
+      FROM s)
+    SELECT doc_id, n_words, mean_len_x100, n_alpha,
+           CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                 AND n_words <= {_GOPHER_MAX_WORDS}
+                 AND mean_len_x100 >= {_GOPHER_MIN_MEANLEN_X100}
+                 AND mean_len_x100 <= {_GOPHER_MAX_MEANLEN_X100}
+                 AND 100 * n_alpha >= {_GOPHER_MIN_ALPHA_PCT} * n_words
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_quality(sf_dir: str):
+    """Gopher-rules quality filter (the standard web-corpus document
+    filter): word-count bounds, mean word length 3-10 chars, >=80%
+    words containing a letter.  One `flat_ws_tokens` pass per batch
+    feeds all three statistics (utf8_length + match_substring_regex +
+    three bincounts); integer floor-division keeps the SQL twin
+    hash-identical.  Embarrassingly parallel — no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, row_ids, n = textfn.flat_ws_tokens(t.column("text"))
+        n_words = np.bincount(row_ids, minlength=n)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(row_ids, weights=tok_len, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, pattern="[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.bincount(row_ids[alpha], minlength=n)
+        mean_x100 = np.where(n_words > 0, (100 * sum_len) // np.maximum(n_words, 1), 0)
+        ok = (
+            (n_words >= _GOPHER_MIN_WORDS)
+            & (n_words <= _GOPHER_MAX_WORDS)
+            & (mean_x100 >= _GOPHER_MIN_MEANLEN_X100)
+            & (mean_x100 <= _GOPHER_MAX_MEANLEN_X100)
+            & (100 * n_alpha >= _GOPHER_MIN_ALPHA_PCT * n_words)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "mean_len_x100": pa.array(mean_x100),
+                "n_alpha": pa.array(n_alpha),
+                "gopher_pass": pa.array(ok),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+@query(
+    "text_repetition_2gram",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             greatest(len(toks) - 1, 0) AS n_grams,
+             CASE WHEN len(toks) >= 2
+                  THEN len(list_distinct(list_transform(
+                         range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+                  ELSE 0 END AS n_distinct
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents))
+    SELECT doc_id, n_grams, n_distinct,
+           CASE WHEN n_grams > 0
+                THEN (100 * (n_grams - n_distinct)) // n_grams ELSE 0 END AS rep_x100
+    FROM s
+    """,
+)
+def text_repetition_2gram(sf_dir: str):
+    """Gopher-style repetition signal: fraction of duplicate word
+    2-grams per document (boilerplate/spam pages repeat themselves).
+    The distinct-gram count reuses `flat_word_ngrams` (one shifted
+    `binary_join_element_wise` + dictionary-encode + integer-unique
+    per batch); totals come free from the token counts.  No shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        n = len(t)
+        n_words = textfn.ws_token_counts(col)
+        rows, _dict, _codes = textfn.flat_word_ngrams(col, n=2)
+        n_distinct = np.bincount(rows, minlength=n)
+        n_grams = np.maximum(n_words - 1, 0)
+        rep = np.where(
+            n_grams > 0,
+            (100 * (n_grams - n_distinct)) // np.maximum(n_grams, 1),
+            0,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(n_grams),
+                "n_distinct": pa.array(n_distinct),
+                "rep_x100": pa.array(rep),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ======================================================================
 # Training-data operators: dedup family over `documents`
 # ======================================================================
@@ -1673,6 +1857,43 @@ def dedup_exact(sf_dir: str):
     )
     out = hashed.groupby("fp").aggregate(
         *_agg(doc_id=("min", "doc_id"), n_copies="count")
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def dedup_exact_normalized(sf_dir: str):
+    """Exact dedup after text normalization (lowercase + collapse
+    whitespace runs + trim) — the C4-style near-verbatim pass that
+    catches re-crawled pages differing only in case/formatting.  Three
+    Arrow C kernels per batch (utf8_lower, RE2 replace, trim), then the
+    same hash-bucketed groupby as `dedup_exact`; the normalized text
+    never leaves the batch, only its 32-byte digest shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_fp(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(txt), pattern=r"\s+", replacement=" "
+            ),
+            characters=" ",
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fp": pa.array(md5_hex_array(norm))}
+        )
+
+    out = (
+        ds.map_batches(norm_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(*_agg(doc_id=("min", "doc_id"), n_copies="count"))
     )
     return out.select_columns(["doc_id", "n_copies"])
 

@@ -237,3 +237,68 @@ def test_query_matches_oracle(ray_session, name):
     w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
     for c in g.columns:
         assert (g[c].astype(str).values == w[c].astype(str).values).all(), c
+
+
+_EDGE_DOCS = [
+    "",                      # empty
+    "   ",                   # whitespace-only
+    "a",                     # single token (no 2-grams)
+    "a b a b",               # fully repetitive 2-grams
+    "x\t\ny  z",             # mixed ASCII whitespace runs
+    "The  THE the\tthe",     # case + run normalization collapses
+    "the  the the\tthe",     # ...to this doc's normal form
+    "a\u00a0b",         # NBSP is NOT a separator on either engine
+    "word " * 60,            # passes the Gopher word-count floor
+]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_gopher_quality",
+        "text_repetition_2gram",
+        "dedup_exact_normalized",
+        "sample_hash_split",
+    ],
+)
+def test_webcorpus_query_edge_parity(ray_session, tmp_path, name):
+    """The round-5 web-corpus queries vs their DuckDB oracles on a
+    degenerate-documents table: empty/whitespace-only/single-token
+    docs, repetition extremes, case/whitespace normal-form collisions,
+    and the declared ASCII-whitespace tokenization class (NBSP stays
+    inside a token on BOTH engines)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(_EDGE_DOCS)), pa.int64()),
+            "text": pa.array(_EDGE_DOCS, pa.string()),
+            "lang": pa.array(["en"] * len(_EDGE_DOCS)),
+            "source": pa.array(["edge"] * len(_EDGE_DOCS)),
+            "n_chars": pa.array([len(d) for d in _EDGE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = QUERIES[name](str(tmp_path))
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM parquet_scan('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    assert len(got) == len(want)
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    for c in g.columns:
+        assert (g[c].astype(str).values == w[c].astype(str).values).all(), c
+    if name == "dedup_exact_normalized":
+        # docs 5 and 6 share a normal form ("the the the the"); with
+        # exact (unnormalized) hashing they would be 2 groups.
+        n_copies = dict(zip(got["doc_id"], got["n_copies"]))
+        assert n_copies[5] == 2
