@@ -88,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         help="ingest only partitions with part %% N == K (horizontal "
         "service sharding; also settable via GDP_SHARD)",
     )
+    b.add_argument(
+        "--key-normalizer",
+        choices=["url_canonical"],
+        default=None,
+        help="canonicalize the partition key at ingest (pages entity: "
+        "url spelling variants merge to one row); fixed at creation "
+        "like --entity",
+    )
 
     a = sub.add_parser("apply", help="apply pending epochs (or one epoch)")
     a.add_argument("--events", required=True)
@@ -311,6 +319,23 @@ def main(argv: list[str] | None = None) -> int:
             spec = {"intervals": INTERVALS_SPEC, "content": CONTENT_SPEC}.get(
                 args.entity
             )
+            if args.key_normalizer:
+                if args.entity != "pages":
+                    # intervals keys on int64 epoch_id (kernel would
+                    # crash), content keys on a hash (nonsensical); the
+                    # spec is persisted at creation so a bad combination
+                    # would wedge every later apply — refuse up front
+                    raise SystemExit(
+                        f"--key-normalizer applies to the pages entity "
+                        f"only (got --entity {args.entity})"
+                    )
+                import dataclasses
+
+                from .schema import PAGES_SPEC
+
+                spec = dataclasses.replace(
+                    spec or PAGES_SPEC, key_normalizer=args.key_normalizer
+                )
             from .pipelines.apply import parse_shard
 
             shard = parse_shard(args.shard) if args.shard else None

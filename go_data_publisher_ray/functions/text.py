@@ -17,13 +17,15 @@ import numpy as np
 # \w+ with ASCII semantics == DuckDB (RE2) '\w+' on ASCII text.
 WORD_RE = re.compile(r"\w+", re.ASCII)
 
-# ASCII whitespace is the engine's tokenization class, on all three
-# surfaces: DuckDB's string_split_regex('\s+') is RE2 (whose \s is
-# exactly [ \t\n\v\f\r]), Arrow's ascii_split_whitespace treats the
-# same six bytes, and the Python helpers below use this re.ASCII
-# pattern.  Python's bare str.split()/re.split(r"\s+") would add
-# Unicode whitespace (NBSP U+00A0, U+2028, ...) and silently disagree
-# with both engines on such input — deliberately NOT used.
+# ASCII whitespace [ \t\n\v\f\r] is the engine's tokenization class,
+# on all three surfaces: Arrow's ascii_split_whitespace splits on
+# exactly those six bytes, the Python helpers below use this re.ASCII
+# pattern (same six), and the DuckDB twins spell the class explicitly
+# as '[\t\n\v\f\r ]+' — NOT RE2's '\s', which is only [ \t\n\f\r]
+# (no vertical tab; Perl pre-5.18 semantics) and would silently
+# disagree on \x0b input.  Python's bare str.split()/re.split(r"\s+")
+# without re.ASCII would add Unicode whitespace (NBSP U+00A0, U+2028,
+# ...) and disagree with both engines too — deliberately NOT used.
 WS_RE = re.compile(r"\s+", re.ASCII)
 
 # Marker stopwords per language for the heuristic language-ID.  Scoring
@@ -106,9 +108,10 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 #
 # Semantics parity with the DuckDB twins is exact:
 # `ascii_split_whitespace` treats exactly the ASCII whitespace class
-# [ \t\n\v\f\r] as separators — the same class RE2's `\s` matches in
-# `string_split_regex(text,'\s+')` — and passes every non-ASCII byte
-# through untouched, so the two agree on ANY input, not just ASCII.
+# [ \t\n\v\f\r] as separators — the twins spell that class explicitly
+# as `string_split_regex(text,'[\t\n\v\f\r ]+')` (RE2's `\s` would
+# MISS \v) — and passes every non-ASCII byte through untouched, so
+# the two agree on ANY input, not just ASCII.
 # (`split_pattern_regex(r"\s+")` gives identical output but measured
 # 6x slower; `count_substring_regex(r"\w+")` stays RE2 because a word
 # -run counter has no whitespace-splitter shortcut.)  Every downstream

@@ -306,6 +306,13 @@ def erase_keys(
     state = man.load_state()
     epochs = state.committed_epochs
     kcol = spec.key_cols[0]
+    if spec.key_normalizer:
+        # the lake stores CANONICAL keys: an erase requested under a
+        # variant spelling must fold/vacuum the canonical key's
+        # partition, not the raw spelling's hash target
+        from ..functions.url import KEY_NORMALIZERS
+
+        keys = KEY_NORMALIZERS[spec.key_normalizer](pa.array(keys)).to_pylist()
     # partitions of EVERY requested key: a key the upstream log already
     # tombstoned has no live row but its historical versions still sit
     # in that partition's delta files — they must fold and vacuum too

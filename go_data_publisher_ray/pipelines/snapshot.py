@@ -480,6 +480,12 @@ def lookup_keys(
     if spec.has_tombstones and "op" not in schema.names and any(state.deltas.values()):
         schema = schema_mod.unify(schema, pa.schema([("op", pa.string())]))
 
+    if spec.key_normalizer:
+        # the lake stores CANONICAL keys — normalize the probes so a
+        # lookup by any spelling variant finds the merged row
+        from ..functions.url import KEY_NORMALIZERS
+
+        keys = KEY_NORMALIZERS[spec.key_normalizer](pa.array(keys)).to_pylist()
     parts = partition_for(pa.array(keys), man.num_partitions)
     by_part: dict[int, list] = {}
     for k, p in zip(keys, parts):

@@ -65,6 +65,17 @@ def replay_oracle_table(
     keys, orders = list(spec.key_cols), list(spec.order_cols)
     base = _read_dir_unified(base_dir)
     events = _read_dir_unified(events_dir)
+    if spec.key_normalizer:
+        # the lake merged on CANONICAL keys (ingest normalizes before
+        # hashing) — the oracle must replay in the same key space
+        from ..functions.url import normalize_key_column
+
+        if base.num_rows:
+            base = normalize_key_column(base, spec.partition_col, spec.key_normalizer)
+        if events.num_rows:
+            events = normalize_key_column(
+                events, spec.partition_col, spec.key_normalizer
+            )
     if shard is not None:
         from ..functions.hashing import partition_for
 
@@ -375,6 +386,12 @@ def verify_partitions(
                 "op", pa.nulls(batch.num_rows, pa.string()).fill_null("insert")
             )
         batch = schema_mod.conform(batch, sch)
+        if mspec.key_normalizer:
+            # same canonical key space as ingest (lake rows already
+            # carry normalized keys; the source side must match)
+            from ..functions.url import normalize_key_column
+
+            batch = normalize_key_column(batch, part_col, mspec.key_normalizer)
         if payload_mode == "hash":
             md5 = payload_md5_column(batch, payload_cols)
             batch = batch.select(light_cols).append_column("payload_md5", md5)

@@ -85,6 +85,14 @@ class MergeSpec:
       same bytes, hence a no-op (the computors analog:
       `computors-consumer/consume/processor.go:146-173` skips the
       write when the identity already exists).
+    - ``key_normalizer``: optional name (``functions/url.py
+      KEY_NORMALIZERS``) of an idempotent transform applied to the
+      partition key column at ingest, BEFORE the partition hash — e.g.
+      ``"url_canonical"`` so crawl spelling variants of one page merge
+      to one lake row.  Persisted in lake.json like every other merge
+      semantic; the verify oracles apply the same transform to the
+      source side so replay equivalence is checked against the
+      canonical key space.
     """
 
     key_cols: tuple[str, ...] = ("url",)
@@ -92,6 +100,7 @@ class MergeSpec:
     lsn_col: str = "lsn"
     has_tombstones: bool = True
     first_wins: bool = False
+    key_normalizer: str | None = None
 
     @property
     def partition_col(self) -> str:
@@ -104,6 +113,7 @@ class MergeSpec:
             "lsn_col": self.lsn_col,
             "has_tombstones": self.has_tombstones,
             "first_wins": self.first_wins,
+            "key_normalizer": self.key_normalizer,
         }
 
     @classmethod
@@ -115,6 +125,8 @@ class MergeSpec:
             has_tombstones=d["has_tombstones"],
             # absent in lakes created before the content entity existed
             first_wins=d.get("first_wins", False),
+            # absent in lakes created before key normalization existed
+            key_normalizer=d.get("key_normalizer"),
         )
 
 

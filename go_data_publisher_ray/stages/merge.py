@@ -100,11 +100,24 @@ def keep_last_by(
     return table.filter(mask)
 
 
+def _pages_fast_path(spec: MergeSpec) -> bool:
+    """The urlhash-accelerated LWW kernel applies to any spec with the
+    pages merge SHAPE (key url, order (warc_ts, lsn), last-wins) —
+    ``key_normalizer`` only changes what the key bytes are before
+    hashing, not how rows merge, so a canonical-url pages lake keeps
+    the fast path."""
+    return (
+        spec.key_cols == PAGES_SPEC.key_cols
+        and spec.order_cols == PAGES_SPEC.order_cols
+        and not spec.first_wins
+    )
+
+
 def collapse_table(table: pa.Table, spec: MergeSpec = PAGES_SPEC) -> pa.Table:
     """Spec-driven collapse: the pages entity keeps its urlhash-
     accelerated fast path; any other entity goes through the general
     ``keep_last_by`` kernel (same sort + adjacent-compare shape)."""
-    if spec == PAGES_SPEC:
+    if _pages_fast_path(spec):
         return lww_collapse(table)
     return keep_last_by(
         table, list(spec.key_cols), list(spec.order_cols), spec.first_wins
@@ -167,6 +180,16 @@ class AddPartitionAndCombine:
             from .patch import apply_patch_rules
 
             batch = apply_patch_rules(batch, self.patch_rules)
+        if spec.key_normalizer:
+            # canonical-key ingest (e.g. url spelling variants of one
+            # page): MUST run before the partition hash so variants
+            # co-locate, and before validate (normalization never
+            # introduces nulls but keeps the order explicit)
+            from ..functions.url import normalize_key_column
+
+            batch = normalize_key_column(
+                batch, spec.partition_col, spec.key_normalizer
+            )
         if self.validate:
             # M3 analog (`tick-data-consumer/kafka/client.go:72-79`):
             # reject records that cannot be keyed/ordered instead of
@@ -553,7 +576,7 @@ def merge_partition_files(
     if not tables:
         return unified_schema.empty_table()
     merged = pa.concat_tables(tables)
-    if spec == PAGES_SPEC:
+    if _pages_fast_path(spec):
         # hash-accelerated collapse (the hash column is internal,
         # stripped by callers via strip_internal)
         from ..functions.hashing import stable_hash64

@@ -248,6 +248,7 @@ _EDGE_DOCS = [
     "The  THE the\tthe",     # case + run normalization collapses
     "the  the the\tthe",     # ...to this doc's normal form
     "a\u00a0b",         # NBSP is NOT a separator on either engine
+    "a\x0bb\tc",             # VT IS a separator (ascii class, not RE2 \s)
     "word " * 60,            # passes the Gopher word-count floor
 ]
 
