@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
         "url spelling variants merge to one row); fixed at creation "
         "like --entity",
     )
+    b.add_argument(
+        "--suppress-unchanged",
+        action="store_true",
+        help="no-op update suppression: an upsert whose value columns "
+        "equal the key's current winner writes no delta row, no "
+        "changefeed diff, no replica traffic (web CDC: unchanged "
+        "re-crawls are the common case); fixed at creation",
+    )
 
     a = sub.add_parser("apply", help="apply pending epochs (or one epoch)")
     a.add_argument("--events", required=True)
@@ -319,8 +327,10 @@ def main(argv: list[str] | None = None) -> int:
             spec = {"intervals": INTERVALS_SPEC, "content": CONTENT_SPEC}.get(
                 args.entity
             )
-            if args.key_normalizer:
-                if args.entity != "pages":
+            if args.key_normalizer or args.suppress_unchanged:
+                from .schema import PAGES_SPEC
+
+                if args.key_normalizer and args.entity != "pages":
                     # intervals keys on int64 epoch_id (kernel would
                     # crash), content keys on a hash (nonsensical); the
                     # spec is persisted at creation so a bad combination
@@ -329,12 +339,11 @@ def main(argv: list[str] | None = None) -> int:
                         f"--key-normalizer applies to the pages entity "
                         f"only (got --entity {args.entity})"
                     )
-                import dataclasses
-
-                from .schema import PAGES_SPEC
-
+                # MergeSpec.__post_init__ validates --suppress-unchanged
                 spec = dataclasses.replace(
-                    spec or PAGES_SPEC, key_normalizer=args.key_normalizer
+                    spec or PAGES_SPEC,
+                    key_normalizer=args.key_normalizer,
+                    suppress_unchanged=args.suppress_unchanged,
                 )
             from .pipelines.apply import parse_shard
 

@@ -114,6 +114,20 @@ def canonicalize_urls(col) -> pa.Array | pa.ChunkedArray:
 KEY_NORMALIZERS = {"url_canonical": canonicalize_urls}
 
 
+def normalize_keys(keys: list, normalizer: str) -> list:
+    """Normalize a Python key list (point lookups, erasure requests)
+    through the named normalizer — same clear-error contract as
+    ``normalize_key_column`` (an unknown name from a newer build's
+    lake.json fails with the known-names message, not a KeyError)."""
+    fn = KEY_NORMALIZERS.get(normalizer)
+    if fn is None:
+        raise ValueError(
+            f"unknown key_normalizer {normalizer!r} "
+            f"(known: {sorted(KEY_NORMALIZERS)})"
+        )
+    return fn(pa.array(keys)).to_pylist()
+
+
 def normalize_key_column(table: pa.Table, col_name: str, normalizer: str) -> pa.Table:
     """Replace ``col_name`` with its normalized form (shared helper for
     the ingest stage and the verify oracles).  Fails with a clear

@@ -51,6 +51,10 @@ def _stats_to_entries(rows: list[dict]) -> tuple[list[FileEntry], list[dict]]:
         if r.get("error"):
             errors.append({"partition": int(r["partition"]), "error": r["error"]})
             continue
+        if not r["path"]:
+            # fully-suppressed partition (every incoming row was a
+            # no-op re-publish): no delta file exists, nothing to commit
+            continue
         entries.append(
             FileEntry(
                 path=r["path"],
@@ -83,6 +87,25 @@ def _read_blocks_for(total_bytes: int) -> int:
     by_bytes = max(1, total_bytes // (4 << 20))
     block_cap_floor = -(-total_bytes // (128 << 20))  # ceil: no block > ~128 MiB
     return int(max(1, block_cap_floor, min(cpus * 2, by_bytes)))
+
+
+def _resolve_slice_bytes(value) -> int | None:
+    """Resolve slice_bytes / GDP_SLICE_BYTES: an int(-like) passes
+    through; ``"auto"`` derives the backlog bound from the live object
+    store — a quarter of its capacity, the ratio the design-point demo
+    validated (tools/bench_backlog.py: 1.5 GiB slices on a 6 GiB
+    store completed with zero spill), leaving headroom for the
+    exchange's in-flight blocks on both sides."""
+    if not value:
+        return None
+    if str(value).strip().lower() == "auto":
+        import ray
+
+        if not ray.is_initialized():
+            return None
+        store = ray.cluster_resources().get("object_store_memory", 0)
+        return int(store // 4) or None
+    return int(value) or None
 
 
 def _dir_bytes(path: str) -> int:
@@ -294,6 +317,37 @@ def apply_epoch(
     spec = man.merge_spec
     shard = _resolve_shard(man, shard if shard is not None else _shard_from_env())
     use_hash_exchange = os.environ.get("GDP_EXCHANGE") == "hash" and salt <= 1
+    suppress_kw: dict = {}
+    if spec.suppress_unchanged:
+        # ship each partition's PRE-epoch live-file list + the light
+        # read schema to the delta writers (stages/merge.py _finalize).
+        # force=True compares against the view AS OF epoch-1 — the
+        # current view includes this epoch's own old delta, and
+        # comparing against oneself would suppress every unchanged row
+        # and replace the old delta with nothing (data loss)
+        import pyarrow as pa
+
+        from .. import schema as schema_mod
+
+        state = man.load_state()
+        upto = epoch - 1 if force else None
+        live_specs = {}
+        for p in range(man.num_partitions):
+            b, ds_ = state.live_files(p, upto)
+            if b or ds_:
+                live_specs[p] = {
+                    "base": b.to_dict() if b else None,
+                    "deltas": [d.to_dict() for d in ds_],
+                }
+        names = [spec.key_cols[0], *spec.order_cols]
+        if spec.lsn_col not in names:
+            names.append(spec.lsn_col)
+        fields = [state.schema.field(nm) for nm in names]
+        fields += [pa.field("op", pa.string()), pa.field("value_md5", pa.string())]
+        suppress_kw = {
+            "live_specs": live_specs,
+            "light_schema_json": schema_mod.schema_to_json(pa.schema(fields)),
+        }
     fault = fault or {}
     # test hook for the adaptive-retry path: a mutable countdown that
     # makes the next N applies fail like a transient job error
@@ -334,6 +388,7 @@ def apply_epoch(
             poison_parts=tuple(fault.get("poison_parts", ())),
             spec=spec,
             slice_tag=slice_tag,
+            **suppress_kw,
         )
         # Exchange choice (GDP_EXCHANGE): "sort" (default) = groupby(part)
         # sort shuffle; "hash" = hash repartition on part + whole-block
@@ -435,7 +490,9 @@ def apply_epoch(
                 ):
                     _shutil.rmtree(os.path.join(spill_root, name), ignore_errors=True)
 
-    slice_bytes = slice_bytes or int(os.environ.get("GDP_SLICE_BYTES", 0)) or None
+    slice_bytes = _resolve_slice_bytes(
+        slice_bytes or os.environ.get("GDP_SLICE_BYTES")
+    )
     groups: list[list[str]] = [src_files]
     if slice_bytes and src_bytes > slice_bytes and len(src_files) > 1:
         groups, cur, cur_b = [], [], 0
@@ -447,6 +504,21 @@ def apply_epoch(
             cur.append(f)
             cur_b += sz
         groups.append(cur)
+    if len(groups) > 1 and spec.suppress_unchanged:
+        # UNSOUND together: slices collapse per-slice and compare
+        # against the PRE-epoch view, so a later slice's no-op row can
+        # be suppressed while an earlier slice's mid-epoch value
+        # survives and wins LWW — the final payload would differ from
+        # replay.  Suppression requires whole-epoch collapse; apply an
+        # oversized backlog epoch unsuppressed (or renumber it).  The
+        # guard fires only when slicing actually engages, so
+        # GDP_SLICE_BYTES=auto stays usable on suppressed lakes whose
+        # epochs fit one slice.
+        raise ValueError(
+            "slice_bytes cannot be combined with a suppress_unchanged "
+            "entity: per-slice collapse breaks the epoch-winner-vs-"
+            "current-view comparison (see apply_epoch docstring)"
+        )
 
     entries, errors = [], []
     for i, group in enumerate(groups):

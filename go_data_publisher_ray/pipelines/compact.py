@@ -23,7 +23,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import schema as schema_mod
-from ..stages.merge import atomic_write_parquet, merge_partition_files, strip_internal
+from ..stages.merge import (
+    atomic_write_parquet,
+    merge_partition_files,
+    stamp_value_md5,
+    strip_internal,
+)
 from ..state.manifest import FileEntry, Manifest
 
 
@@ -69,6 +74,10 @@ class Compactor:
                 spec=self.mspec,
             )
             merged = strip_internal(merged)
+            # folded bases of a suppress-unchanged entity re-stamp the
+            # digest over the CURRENT value columns (self-healing across
+            # schema evolution; see stamp_value_md5)
+            merged = stamp_value_md5(merged, self.mspec)
             rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
             abspath = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)

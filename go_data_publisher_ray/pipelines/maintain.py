@@ -310,9 +310,9 @@ def erase_keys(
         # the lake stores CANONICAL keys: an erase requested under a
         # variant spelling must fold/vacuum the canonical key's
         # partition, not the raw spelling's hash target
-        from ..functions.url import KEY_NORMALIZERS
+        from ..functions.url import normalize_keys
 
-        keys = KEY_NORMALIZERS[spec.key_normalizer](pa.array(keys)).to_pylist()
+        keys = normalize_keys(keys, spec.key_normalizer)
     # partitions of EVERY requested key: a key the upstream log already
     # tombstoned has no live row but its historical versions still sit
     # in that partition's delta files — they must fold and vacuum too

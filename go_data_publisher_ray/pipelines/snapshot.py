@@ -483,9 +483,9 @@ def lookup_keys(
     if spec.key_normalizer:
         # the lake stores CANONICAL keys — normalize the probes so a
         # lookup by any spelling variant finds the merged row
-        from ..functions.url import KEY_NORMALIZERS
+        from ..functions.url import normalize_keys
 
-        keys = KEY_NORMALIZERS[spec.key_normalizer](pa.array(keys)).to_pylist()
+        keys = normalize_keys(keys, spec.key_normalizer)
     parts = partition_for(pa.array(keys), man.num_partitions)
     by_part: dict[int, list] = {}
     for k, p in zip(keys, parts):

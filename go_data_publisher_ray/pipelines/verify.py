@@ -96,6 +96,8 @@ def replay_oracle_table(
         )
     if events.num_rows and upto_epoch is not None:
         events = events.filter(pc.less_equal(events.column("epoch"), upto_epoch))
+    if spec.suppress_unchanged and events.num_rows:
+        events = _suppress_replay_events(base, events, spec)
     if "epoch" in events.schema.names:
         events = events.drop_columns(["epoch"])
     unified = schema_mod.unify(base.schema, events.schema)
@@ -113,6 +115,71 @@ def replay_oracle_table(
     df = df.sort_values(keys)
     out_schema = pa.schema([f for f in unified if f.name != "op"])
     return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False).combine_chunks()
+
+
+def _suppress_replay_events(
+    base: pa.Table, events: pa.Table, spec
+) -> pa.Table:
+    """Epoch-serial no-op-suppression replay (driver-side, small
+    fixtures): returns the SUBSET of event rows a suppress-unchanged
+    lake actually writes — per epoch, per key, the within-epoch winner,
+    kept only when its value_md5 differs from the key's current LWW
+    view (tombstoned keys count as absent).  The caller then runs the
+    ordinary LWW merge over base + kept rows, which equals the lake
+    exactly, INCLUDING order columns (unchanged re-publishes keep the
+    first-seen order tuple).  Mirrors stages/merge.py _finalize."""
+    import collections
+
+    from ..functions.hashing import row_value_md5
+    from ..schema import value_columns as _value_columns
+
+    unified = schema_mod.unify(base.schema, events.schema)
+    b = schema_mod.conform(base, unified)
+    e = schema_mod.conform(events, unified)
+    vcols = _value_columns(unified.names, spec)
+    key0 = spec.key_cols[0]
+    order_cols = list(spec.order_cols)
+
+    def _cols(t, names):
+        return list(zip(*[t.column(c).to_pylist() for c in names])) if t.num_rows else []
+
+    state: dict = {}  # key -> (order_tuple, op, value_md5) of the LWW winner
+    for k, o, op_, m in zip(
+        b.column(key0).to_pylist(),
+        _cols(b, order_cols),
+        b.column("op").to_pylist() if "op" in b.schema.names else ["insert"] * b.num_rows,
+        row_value_md5(b, vcols).to_pylist(),
+    ):
+        cur = state.get(k)
+        if cur is None or o > cur[0]:
+            state[k] = (o, op_, m)
+
+    ekeys = e.column(key0).to_pylist()
+    eorder = _cols(e, order_cols)
+    eop = e.column("op").to_pylist()
+    emd5 = row_value_md5(e, vcols).to_pylist()
+    eepoch = e.column("epoch").to_pylist()
+    by_epoch: dict = collections.defaultdict(dict)  # epoch -> key -> (order, idx)
+    for i, (k, o, ep) in enumerate(zip(ekeys, eorder, eepoch)):
+        cur = by_epoch[ep].get(k)
+        if cur is None or o > cur[0]:
+            by_epoch[ep][k] = (o, i)
+    keep = []
+    for ep in sorted(by_epoch):
+        for k, (o, i) in by_epoch[ep].items():
+            cur = state.get(k)
+            if (
+                eop[i] != "delete"
+                and cur is not None
+                and cur[1] != "delete"
+                and cur[2] == emd5[i]
+            ):
+                continue  # no-op re-publish: the engine writes nothing
+            keep.append(i)
+            if cur is None or o > cur[0]:
+                state[k] = (o, eop[i], emd5[i])
+    keep.sort()
+    return events.take(pa.array(keep, pa.int64()))
 
 
 def duckdb_oracle_table(base_dir: str, events_dir: str) -> pa.Table:
@@ -243,34 +310,14 @@ def _dir_parquet_files(path: str) -> list[str]:
 
 
 def payload_md5_column(t: pa.Table, payload_cols: list[str]) -> pa.Array:
-    """Row-wise md5 digest over the payload columns (null-safe,
-    type-tagged canonical serialization).  Shared by BOTH sides of the
-    hash-mode verify, so the source replay and the lake state hash
-    identically iff their payload values are identical.  The md5 itself
-    is C (hashlib) and dominates; the per-row loop is bounded per batch
-    — no vectorized md5 exists in numpy/pyarrow (same measured-accepted
-    justification as the dedup family's fingerprint kernels)."""
-    import hashlib
+    """Row-wise md5 digest over the payload columns — delegates to the
+    engine-wide canonical serializer (functions/hashing.row_value_md5,
+    name-sorted columns) so the hash-mode verify, the suppress-unchanged
+    writers and the stored ``value_md5`` column all hash identical
+    values identically."""
+    from ..functions.hashing import row_value_md5
 
-    n = t.num_rows
-    if n == 0 or not payload_cols:
-        return pa.array([""] * n, pa.string())
-    cols = [t.column(c).to_pylist() for c in payload_cols]
-    out = []
-    for i in range(n):
-        h = hashlib.md5()
-        for col in cols:
-            v = col[i]
-            if v is None:
-                h.update(b"\x00N")
-            elif isinstance(v, bytes):
-                h.update(b"\x00B")
-                h.update(v)
-            else:
-                h.update(b"\x00S")
-                h.update(str(v).encode())
-        out.append(h.hexdigest())
-    return pa.array(out, pa.string())
+    return row_value_md5(t, payload_cols)
 
 
 def verify_partitions(
@@ -446,6 +493,14 @@ def verify_partitions(
             got = got.select(key_cols + order_cols).append_column(
                 "payload_md5", md5
             )
+        if mspec.suppress_unchanged:
+            # a suppress-unchanged lake keeps the FIRST-seen order tuple
+            # for a value the source re-published later — key set and
+            # payload are what replay guarantees, so compare exactly
+            # those (order/lsn columns dropped from both sides)
+            drop = [c for c in dict.fromkeys([*order_cols, mspec.lsn_col])]
+            want = want.drop_columns([c for c in drop if c in want.schema.names])
+            got = got.drop_columns([c for c in drop if c in got.schema.names])
         sort_keys = [(k, "ascending") for k in key_cols]
         got = got.take(pc.sort_indices(got, sort_keys=sort_keys)) if got.num_rows else got
         want = want.take(pc.sort_indices(want, sort_keys=sort_keys))

@@ -54,7 +54,9 @@ DELTA_SCHEMA = pa.schema(PAGE_FIELDS + [("lsn", pa.int64()), ("op", pa.string())
 OPS = ("insert", "update", "delete")
 
 # Columns internal to the engine, dropped from user-facing snapshots.
-INTERNAL_COLUMNS = ("op", "part", "salt", "urlhash")
+# value_md5: per-row canonical digest of the VALUE columns, persisted
+# by suppress-unchanged lakes (functions/hashing.row_value_md5).
+INTERNAL_COLUMNS = ("op", "part", "salt", "urlhash", "value_md5")
 
 
 from dataclasses import dataclass  # noqa: E402
@@ -93,6 +95,16 @@ class MergeSpec:
       semantic; the verify oracles apply the same transform to the
       source side so replay equivalence is checked against the
       canonical key space.
+    - ``suppress_unchanged``: no-op update suppression — an incoming
+      upsert whose VALUE columns equal the key's current winner is
+      dropped at the delta write (web CDC: most re-crawls return the
+      page unchanged; without this every one writes a delta row, a
+      changefeed diff and replica traffic).  The final table's PAYLOAD
+      per key is identical to plain replay; only the stored order
+      columns (warc_ts/lsn) keep the FIRST time each value was seen
+      instead of the last.  Requires a single-key, tombstoned,
+      last-wins entity (first_wins already no-ops by construction) and
+      persists an internal ``value_md5`` column in every lake file.
     """
 
     key_cols: tuple[str, ...] = ("url",)
@@ -101,6 +113,22 @@ class MergeSpec:
     has_tombstones: bool = True
     first_wins: bool = False
     key_normalizer: str | None = None
+    suppress_unchanged: bool = False
+
+    def __post_init__(self):
+        if self.suppress_unchanged and (
+            self.first_wins
+            or not self.has_tombstones
+            or len(self.key_cols) != 1
+            or self.lsn_col not in self.order_cols
+        ):
+            raise ValueError(
+                "suppress_unchanged needs a single-key, tombstoned, "
+                "last-wins entity whose lsn_col is an order column "
+                "(first_wins entities already no-op identical "
+                f"re-publishes): {self.key_cols=} {self.has_tombstones=} "
+                f"{self.first_wins=} {self.order_cols=} {self.lsn_col=}"
+            )
 
     @property
     def partition_col(self) -> str:
@@ -114,6 +142,7 @@ class MergeSpec:
             "has_tombstones": self.has_tombstones,
             "first_wins": self.first_wins,
             "key_normalizer": self.key_normalizer,
+            "suppress_unchanged": self.suppress_unchanged,
         }
 
     @classmethod
@@ -127,7 +156,26 @@ class MergeSpec:
             first_wins=d.get("first_wins", False),
             # absent in lakes created before key normalization existed
             key_normalizer=d.get("key_normalizer"),
+            # absent in lakes created before no-op suppression existed
+            suppress_unchanged=d.get("suppress_unchanged", False),
         )
+
+
+def value_columns(names, spec: "MergeSpec") -> list[str]:
+    """The VALUE columns of an entity: everything that is not key,
+    order, lsn, epoch envelope, internal, or exchange plumbing.  The
+    single definition shared by the suppress-unchanged digest writers
+    and readers — both sides must agree or nothing ever matches."""
+    skip = {
+        *spec.key_cols,
+        *spec.order_cols,
+        spec.lsn_col,
+        "epoch",
+        "blob",
+        "bidx",
+        *INTERNAL_COLUMNS,
+    }
+    return [n for n in names if n not in skip]
 
 
 PAGES_SPEC = MergeSpec()

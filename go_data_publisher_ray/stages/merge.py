@@ -284,6 +284,8 @@ class DeltaWriter:
         deadletter: bool = True,
         spec: MergeSpec = PAGES_SPEC,
         slice_tag: str = "",
+        live_specs: dict | None = None,
+        light_schema_json: str | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -296,8 +298,85 @@ class DeltaWriter:
         # of one epoch write delta_{epoch}_sNNN.parquet side by side and
         # commit together under the one epoch record
         self.slice_tag = slice_tag
+        # no-op suppression (spec.suppress_unchanged): the driver ships
+        # each partition's PRE-epoch live-file list + the light read
+        # schema; the writer compares incoming winners' value_md5
+        # against the current winners' via a pruned key_in read
+        self.live_specs = live_specs or {}
+        self.light_schema_json = light_schema_json
         self.storage_name = get_storage().name  # captured on the driver
         self.__name__ = f"DeltaWriter_e{epoch}{slice_tag}"  # ray map_groups wants a __name__
+
+    def _finalize(self, out: pa.Table, part: int) -> pa.Table:
+        """No-op update suppression + value_md5 stamping (both only when
+        ``spec.suppress_unchanged``).  An incoming non-delete winner
+        whose value_md5 equals the key's CURRENT winner (pre-epoch
+        live files, pruned key_in read, tombstones dropped) is dropped:
+        the lake row it would replace carries the same payload, so the
+        write — and the changefeed diff and replica traffic behind it —
+        is pure churn.  Rows that survive are stamped with their
+        value_md5 so future epochs can compare against THIS delta
+        without decoding payload bytes."""
+        from ..functions.hashing import row_value_md5
+        from ..schema import schema_from_json, value_columns
+
+        spec = self.spec
+        if not spec.suppress_unchanged or out.num_rows == 0:
+            return out
+        key0 = spec.key_cols[0]
+        md5 = row_value_md5(out, value_columns(out.schema.names, spec))
+        live = self.live_specs.get(part)
+        if live and (live["base"] or live["deltas"]):
+            from ..state.manifest import FileEntry
+
+            keys = out.column(key0)
+            if "op" in out.schema.names:
+                keys = keys.filter(pc.not_equal(out.column("op"), "delete"))
+            if len(keys):
+                light = schema_from_json(self.light_schema_json)
+                uniq = pc.unique(keys.combine_chunks())
+                # the key_in parquet filter pays off only for SPARSE
+                # touches: its per-row set probe over a large key list
+                # costs more than just decoding the light columns once
+                # the epoch touches a meaningful fraction of the
+                # partition (a full re-crawl touches all of it —
+                # measured 3x apply slowdown with the filter, none
+                # without; tools/bench_suppress.py).  The key list is
+                # materialized to Python only on the sparse branch.
+                total = (live["base"]["rows"] if live["base"] else 0) + sum(
+                    d["rows"] for d in live["deltas"]
+                )
+                sparse = len(uniq) * 20 < total
+                cur = merge_partition_files(
+                    self.lake_dir,
+                    FileEntry.from_dict(live["base"]) if live["base"] else None,
+                    [FileEntry.from_dict(d) for d in live["deltas"]],
+                    light,
+                    keep_tombstones=False,
+                    spec=spec,
+                    key_in=uniq.to_pylist() if sparse else None,
+                    read_columns=light.names,
+                )
+                if cur.num_rows:
+                    ki = pc.index_in(
+                        out.column(key0), value_set=cur.column(key0).combine_chunks()
+                    )
+                    cur_md5 = pc.take(cur.column("value_md5").combine_chunks(), ki)
+                    same = pc.and_kleene(
+                        pc.is_valid(ki), pc.equal(md5, cur_md5)
+                    )
+                    if "op" in out.schema.names:
+                        same = pc.and_kleene(
+                            same, pc.not_equal(out.column("op"), "delete")
+                        )
+                    keep = pc.fill_null(pc.invert(same), True)
+                    if isinstance(keep, pa.ChunkedArray):
+                        keep = keep.combine_chunks()
+                    out = out.filter(keep)
+                    md5 = md5.filter(keep)
+        if "value_md5" in out.schema.names:  # force-reapply of stamped rows
+            out = out.drop_columns(["value_md5"])
+        return out.append_column("value_md5", md5)
 
     def _stats(self, part: int, rel: str, rows: int, size: int, max_lsn: int, error: str) -> pa.Table:
         return pa.table(
@@ -326,6 +405,11 @@ class DeltaWriter:
             out = collapse_table(group, self.spec)
             drop = [c for c in (*self.drop, "part", "salt", "urlhash") if c in out.schema.names]
             out = out.drop_columns(drop)
+            out = self._finalize(out, part)
+            if self.spec.suppress_unchanged and out.num_rows == 0:
+                # every incoming row was a no-op re-publish: no delta
+                # file, no manifest entry (apply skips empty-path rows)
+                return self._stats(part, "", 0, 0, 0, "")
             rel = os.path.join(
                 f"part={part:05d}", f"delta_{self.epoch:06d}{self.slice_tag}.parquet"
             )
@@ -492,6 +576,9 @@ class RefDeltaWriter(DeltaWriter):
                 elif payload is not None and name in payload.schema.names:
                     cols[name] = payload.column(name)
             out = pa.table(cols)
+            out = self._finalize(out, part)
+            if self.spec.suppress_unchanged and out.num_rows == 0:
+                return self._stats(part, "", 0, 0, 0, "")
             rel = os.path.join(
                 f"part={part:05d}", f"delta_{self.epoch:06d}{self.slice_tag}.parquet"
             )
@@ -504,6 +591,24 @@ class RefDeltaWriter(DeltaWriter):
                 raise
             return self._record_deadletter(part, exc)
         return self._stats(part, rel, out.num_rows, size, max_lsn, "")
+
+
+def stamp_value_md5(out: pa.Table, spec: MergeSpec) -> pa.Table:
+    """(Re)compute the internal ``value_md5`` column for a base-file
+    write — bootstrap and compaction both stamp it when the entity
+    suppresses unchanged updates.  Recomputing (rather than carrying)
+    is self-healing: files written before the feature, or before a
+    schema evolution changed the value-column set, get a fresh digest
+    over the CURRENT unified value columns."""
+    if not spec.suppress_unchanged or out.num_rows == 0:
+        return out
+    from ..functions.hashing import row_value_md5
+    from ..schema import value_columns
+
+    if "value_md5" in out.schema.names:
+        out = out.drop_columns(["value_md5"])
+    md5 = row_value_md5(out, value_columns(out.schema.names, spec))
+    return out.append_column("value_md5", md5)
 
 
 class BaseWriter:
@@ -522,6 +627,7 @@ class BaseWriter:
         part = group.column("part")[0].as_py()
         out = collapse_table(group, self.spec)
         out = strip_internal(out)
+        out = stamp_value_md5(out, self.spec)
         rel = os.path.join(f"part={part:05d}", f"base_{self.tag}.parquet")
         abspath = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
@@ -548,6 +654,7 @@ def merge_partition_files(
     columns: list[str] | None = None,
     spec: MergeSpec = PAGES_SPEC,
     key_in: list | None = None,
+    read_columns: list | None = None,
 ) -> pa.Table:
     """Read one partition's live base+delta files and produce its merged
     view (vectorized concat -> spec-driven collapse).  Used by both the
@@ -562,13 +669,23 @@ def merge_partition_files(
     row groups decode) — the point-lookup path.  Collapsing a key's full
     version set is unaffected: every version of a kept key passes the
     filter, so the LWW winner is identical to the full merge's.
+
+    ``read_columns`` prunes the read itself (columns absent from a file
+    are skipped there and null-filled by conform) — the light-read path
+    of no-op suppression, where only keys + order + value_md5 are
+    needed and the wide payload must never decode.
     """
     from ..schema import conform
 
     filters = [(spec.key_cols[0], "in", list(key_in))] if key_in is not None else None
     tables = []
     for fe, is_base in ([(base, True)] if base else []) + [(f, False) for f in deltas]:
-        t = pq.read_table(os.path.join(lake_dir, fe.path), filters=filters)
+        path = os.path.join(lake_dir, fe.path)
+        cols = None
+        if read_columns is not None:
+            have = set(pq.read_schema(path).names)
+            cols = [c for c in read_columns if c in have]
+        t = pq.read_table(path, columns=cols, filters=filters)
         if spec.has_tombstones and "op" not in t.schema.names:
             op = pa.nulls(t.num_rows, pa.string()).fill_null("insert")
             t = t.append_column("op", op)

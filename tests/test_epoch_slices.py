@@ -102,3 +102,24 @@ def test_sliced_poisoned_partition_excluded_entirely(ray_session, tmp_path):
     for fd in rec["files"]:
         per_part[fd["partition"]] = per_part.get(fd["partition"], 0) + 1
     assert max(per_part.values()) > 1
+
+
+def test_slice_bytes_auto_resolution(ray_session):
+    """GDP_SLICE_BYTES=auto derives the backlog bound from the live
+    object store (a quarter of capacity, the bench_backlog-validated
+    ratio); explicit ints pass through; junk raises."""
+    import ray
+
+    from go_data_publisher_ray.pipelines.apply import _resolve_slice_bytes
+
+    assert _resolve_slice_bytes(None) is None
+    assert _resolve_slice_bytes(0) is None
+    assert _resolve_slice_bytes("1048576") == 1 << 20
+    assert _resolve_slice_bytes(123) == 123
+    auto = _resolve_slice_bytes("auto")
+    store = ray.cluster_resources().get("object_store_memory", 0)
+    assert auto == int(store // 4) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        _resolve_slice_bytes("garbage")
