@@ -93,6 +93,10 @@ DEFAULT_BENCH_QUERIES = [
     "text_repetition_2gram",
     "dedup_exact_normalized",
     "sample_hash_split",
+    # no-op update suppression end to end (re-crawl lake build +
+    # suppressed apply + snapshot; tools/bench_suppress.py measures the
+    # ingest-side cost/benefit at 200k x 2 KiB scale)
+    "cdc_suppress_unchanged",
 ]
 
 

@@ -3014,6 +3014,190 @@ def epoch_diff_changefeed(sf_dir: str):
     return snapshot_diff(lake, _DIFF_FROM, _DIFF_TO)
 
 
+# --- no-op update suppression (MergeSpec.suppress_unchanged) ----------
+# Re-crawl fixture: a change log where most upserts re-publish the
+# page UNCHANGED (web CDC's common case).  Bespoke rather than a
+# LogSpec knob because the point is exact control of which events are
+# value-identical; everything is a pure function of (i, version) so
+# the DuckDB twin can re-derive it.
+
+_SUPPRESS_N = 800
+_SUPPRESS_FIX = "/tmp/gdp_ray_fixtures/suppress_recrawl_v1"
+
+
+def _suppress_rows(specs, epoch: int | None) -> pa.Table:
+    """specs: (page i, payload version, lsn, op) quadruples; payload is
+    a pure function of (i, version)."""
+    urls = [f"https://site{i % 40}.example/p/{i}" for i, _, _, _ in specs]
+    htmls = [f"<html>v{v} of page {i}</html>".encode() for i, v, _, _ in specs]
+    texts = [f"text v{v} of page {i} " + "x" * 24 for i, v, _, _ in specs]
+    lsns = [l for _, _, l, _ in specs]
+    cols = {
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(
+            np.asarray(lsns, dtype=np.int64) * 1000
+        ).cast(pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(specs), pa.string()),
+        "lsn": pa.array(lsns, pa.int64()),
+    }
+    if epoch is not None:
+        cols["op"] = pa.array([op for _, _, _, op in specs], pa.string())
+    return pa.table(cols)
+
+
+def suppress_fixture_dir() -> str:
+    """Generate (once) the deterministic re-crawl fixture: base of
+    {_SUPPRESS_N} pages at v0, then epoch 0 = FULL unchanged re-crawl
+    (every row suppressible), epoch 1 = mixed changed / unchanged /
+    deleted / new, epoch 2 = post-delete re-publish (must apply) +
+    identical repeats (suppressible) + fresh changes."""
+    import pyarrow.parquet as _pq
+
+    done = os.path.join(_SUPPRESS_FIX, "_done")
+    if os.path.exists(done):
+        return _SUPPRESS_FIX
+    n = _SUPPRESS_N
+    base_dir = os.path.join(_SUPPRESS_FIX, "base")
+    os.makedirs(base_dir, exist_ok=True)
+    _pq.write_table(
+        _suppress_rows([(i, 0, i + 1, "insert") for i in range(n)], None),
+        os.path.join(base_dir, "chunk-00000.parquet"),
+    )
+    lsn = n + 1
+
+    def _epoch(e: int, specs) -> None:
+        edir = os.path.join(_SUPPRESS_FIX, "events", f"epoch={e}")
+        os.makedirs(edir, exist_ok=True)
+        _pq.write_table(
+            _suppress_rows(specs, e), os.path.join(edir, "chunk-00000.parquet")
+        )
+
+    e0 = [(i, 0, lsn + i, "upsert") for i in range(n)]  # all no-ops
+    lsn += n
+    _epoch(0, e0)
+    e1 = []
+    for i in range(0, 200):  # changed
+        e1.append((i, 1, lsn, "upsert"))
+        lsn += 1
+    for i in range(200, 400):  # unchanged re-crawl
+        e1.append((i, 0, lsn, "upsert"))
+        lsn += 1
+    for i in range(400, 450):  # deletes
+        e1.append((i, 0, lsn, "delete"))
+        lsn += 1
+    for i in range(n, n + 50):  # brand-new keys
+        e1.append((i, 0, lsn, "upsert"))
+        lsn += 1
+    _epoch(1, e1)
+    e2 = []
+    for i in range(400, 410):  # deleted keys re-published at v0: applies
+        e2.append((i, 0, lsn, "upsert"))
+        lsn += 1
+    for i in range(0, 100):  # identical v1 repeat: suppressible
+        e2.append((i, 1, lsn, "upsert"))
+        lsn += 1
+    for i in range(100, 120):  # changed again
+        e2.append((i, 2, lsn, "upsert"))
+        lsn += 1
+    _epoch(2, e2)
+    with open(done, "w") as f:
+        f.write("ok")
+    return _SUPPRESS_FIX
+
+
+def _suppress_sql() -> str:
+    """SQL twin of the suppressed lake's epoch-serial replay.  Valid
+    because the fixture's order tuples are globally monotone per key:
+    the engine's "compare the epoch winner against the current state"
+    reduces to a lag() change-point scan over per-epoch winners — a
+    skipped winner always carries the state's own value, so comparing
+    against the previous WINNER equals comparing against the state."""
+    return f"""
+    WITH src AS (
+      SELECT url, warc_ts, html, text, lang, lsn, 'insert' AS op,
+             -1 AS epoch
+      FROM parquet_scan('{_SUPPRESS_FIX}/base/*.parquet')
+      UNION ALL BY NAME
+      SELECT url, warc_ts, html, text, lang, lsn, op, epoch
+      FROM parquet_scan('{_SUPPRESS_FIX}/events/epoch=*/*.parquet',
+                        union_by_name=true)),
+    winners AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY url, epoch ORDER BY warc_ts DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1),
+    flagged AS (
+      SELECT *,
+        CASE WHEN op = 'delete' THEN TRUE
+             WHEN lag(op) OVER w IS NULL THEN TRUE
+             WHEN lag(op) OVER w = 'delete' THEN TRUE
+             WHEN lag(html) OVER w <> html OR lag(text) OVER w <> text
+                  OR lag(lang) OVER w <> lang THEN TRUE
+             ELSE FALSE END AS retained
+      FROM winners
+      WINDOW w AS (PARTITION BY url ORDER BY epoch)),
+    final AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY epoch DESC) AS rn2
+      FROM flagged WHERE retained)
+    SELECT url, warc_ts, lsn, lang, text, md5(lower(hex(html))) AS html_md5
+    FROM final WHERE rn2 = 1 AND op <> 'delete'
+    """
+
+
+@query("cdc_suppress_unchanged", _suppress_sql())
+def suppress_unchanged_snapshot(sf_dir: str):
+    """NO-OP UPDATE SUPPRESSION end to end: bootstrap a lake with
+    ``MergeSpec.suppress_unchanged`` and apply a re-crawl log where
+    most upserts republish the page unchanged — those write NO delta
+    row (epoch 0, a full unchanged re-crawl, commits with zero files),
+    and every surviving key keeps the order tuple of the FIRST event
+    that established its current value.  The oracle replays the same
+    suppression rule in SQL (per-epoch winners + lag change-point
+    scan), so the hash compare covers the kept order columns too — a
+    plain LWW replay would FAIL it on every suppressed key.  Web-CDC
+    analog of the reference's idempotent ES upsert (K3,
+    tick-intervals-consumer/elastic/client.go:97-147) taken one step
+    further: the no-op never leaves the ingest stage."""
+    import dataclasses
+
+    from ..functions.hashing import md5_hex_bytes_array
+    from ..schema import PAGES_SPEC
+    from .apply import apply_log, bootstrap
+    from .snapshot import snapshot
+
+    fixture = suppress_fixture_dir()
+    lake = os.path.join("/tmp/gdp_ray_lakes", "suppress_recrawl_v1")
+    spec = dataclasses.replace(PAGES_SPEC, suppress_unchanged=True)
+    bootstrap(os.path.join(fixture, "base"), lake, 8, merge_spec=spec)
+    apply_log(os.path.join(fixture, "events"), lake)
+    # the feature's observable contract, asserted at query time: the
+    # fully-unchanged re-crawl epoch committed WITHOUT writing a file
+    from ..state.manifest import Manifest
+
+    rec0 = Manifest(lake).epoch_record(0)
+    if rec0["files"]:
+        raise AssertionError(
+            f"suppression failed: epoch 0 wrote {rec0['files']}"
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "lsn": t.column("lsn"),
+                "lang": t.column("lang"),
+                "text": t.column("text"),
+                "html_md5": pa.array(md5_hex_bytes_array(t.column("html"))),
+            }
+        )
+
+    return snapshot(lake).map_batches(project, batch_format="pyarrow")
+
+
 def _scd2_sql() -> str:
     fix = os.path.join("/tmp/gdp_ray_fixtures", _flagship_spec().tag())
     return f"""
@@ -4560,10 +4744,11 @@ _DRIVER_WINDOW = [
     "cdc_incremental_view",
     "cdc_ttl_retention",
     "cdc_point_lookup",
-    # aggregates
+    "cdc_suppress_unchanged",
+    # aggregates (rollup_pricing is pricing_summary's variant — it
+    # yielded its window slot to the suppression query, still registered)
     "agg_pricing_summary",
     "agg_quantile_per_flag",
-    "agg_rollup_pricing",
     "agg_distinct_users_per_type",
     # joins
     "join_orders_by_region",
