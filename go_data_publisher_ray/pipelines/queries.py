@@ -1834,6 +1834,68 @@ def text_repetition_2gram(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+@query(
+    "text_hapax_ratio",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WS_TOKENS_SQL}) AS tok FROM documents),
+    per AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+      FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           coalesce(a.n_hapax, 0) AS n_hapax,
+           CASE WHEN coalesce(a.n_words, 0) > 0
+                THEN (100 * a.n_hapax) // a.n_words ELSE 0 END AS hapax_x100
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def text_hapax_ratio(sf_dir: str):
+    """Lexical-diversity quality signal: per-document hapax ratio (the
+    fraction of words occurring exactly ONCE in the doc).  Template
+    spam and keyword-stuffed pages reuse a tiny vocabulary (low hapax
+    ratio); genuine prose doesn't — the complement of the 2-gram
+    repetition signal, which misses shuffled-word spam.  Vectorized:
+    one flat_ws_tokens pass, dictionary-encode the tokens, pack
+    (row, code) into one int64 and np.unique(return_counts) gives every
+    per-doc token multiplicity in one C pass — three bincounts finish.
+    Embarrassingly parallel, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        flat, row_ids, n = textfn.flat_ws_tokens(col)
+        n_words = np.bincount(row_ids, minlength=n).astype(np.int64)
+        if len(flat):
+            codes = pc.dictionary_encode(flat).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            uniq, counts = np.unique((row_ids << 32) | codes, return_counts=True)
+            rows_u = uniq >> 32
+            n_distinct = np.bincount(rows_u, minlength=n).astype(np.int64)
+            n_hapax = np.bincount(rows_u[counts == 1], minlength=n).astype(np.int64)
+        else:
+            n_distinct = n_hapax = np.zeros(n, np.int64)
+        hapax_x100 = np.where(
+            n_words > 0, (100 * n_hapax) // np.maximum(n_words, 1), 0
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct),
+                "n_hapax": pa.array(n_hapax),
+                "hapax_x100": pa.array(hapax_x100),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ======================================================================
 # Training-data operators: dedup family over `documents`
 # ======================================================================
