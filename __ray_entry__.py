@@ -46,9 +46,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_data_publisher_ray.pipelines.queries import ORACLE_SQL, flagship_fixture_dir
+    from go_data_publisher_ray.pipelines.queries import (
+        ORACLE_SQL,
+        flagship_fixture_dir,
+        suppress_fixture_dir,
+    )
 
-    # the flagship oracle reads the fixture's on-disk parquet directly;
-    # make sure it exists even if the SQL runs before the Ray query
+    # these oracles read their fixtures' on-disk parquet directly;
+    # make sure they exist even if the SQL runs before the Ray query
     flagship_fixture_dir()
+    suppress_fixture_dir()
     return dict(ORACLE_SQL)

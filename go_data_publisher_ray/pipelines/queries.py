@@ -3230,8 +3230,17 @@ def suppress_unchanged_snapshot(sf_dir: str):
     from .apply import apply_log, bootstrap
     from .snapshot import snapshot
 
+    import shutil
+
     fixture = suppress_fixture_dir()
     lake = os.path.join("/tmp/gdp_ray_lakes", "suppress_recrawl_v1")
+    # rebuild the (tiny) lake every call: a cached lake would outlive
+    # engine changes to the suppression compare or the value_md5 digest
+    # format — the gate would then grade a lake built by OLD code — and
+    # it keeps the bench timing honest (build + suppressed apply +
+    # snapshot, not a cached-snapshot read).  The fixture stays cached:
+    # it is pure versioned data (review findings, a295f02 follow-up).
+    shutil.rmtree(lake, ignore_errors=True)
     spec = dataclasses.replace(PAGES_SPEC, suppress_unchanged=True)
     bootstrap(os.path.join(fixture, "base"), lake, 8, merge_spec=spec)
     apply_log(os.path.join(fixture, "events"), lake)

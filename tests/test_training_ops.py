@@ -258,6 +258,7 @@ _EDGE_DOCS = [
     [
         "text_gopher_quality",
         "text_repetition_2gram",
+        "text_hapax_ratio",
         "dedup_exact_normalized",
         "sample_hash_split",
     ],
